@@ -1,0 +1,41 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding tests follow the strategy in SURVEY.md §4: force the host
+platform to expose 8 virtual devices so `jax.sharding.Mesh` paths execute and
+can be checked against single-device ground truth without TPU hardware.
+"""
+
+import os
+import sys
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_PKL = "/root/reference/experiments/knowledge_graph_embeddings.pkl"
+
+
+@pytest.fixture(scope="session")
+def reference_pickle_path():
+    if not os.path.exists(REFERENCE_PKL):
+        pytest.skip("reference embeddings pickle not available")
+    return REFERENCE_PKL
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def sample_query_embedding(rng):
+    return rng.standard_normal(384).astype(np.float32)
