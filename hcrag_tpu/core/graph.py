@@ -1,0 +1,221 @@
+"""CsrGraph — the on-device property graph.
+
+TPU-native replacement for the reference's Neo4j store
+(`knowledge_graph.py:21-512`).  Node set and edge rules are identical; the
+representation is compressed-sparse-row adjacency on device instead of a
+database behind a bolt socket:
+
+  * ``row_ptr``  [G+1] int32 — CSR offsets over symmetrized edges
+  * ``col_idx``  [E]   int32 — neighbor node ids
+  * ``edge_type``[E]   int8  — EDGE_TYPES id per edge
+
+For the expansion kernel (whitelist {ANNOTATION, DESCRIBED_BY},
+subgraph_expander.py:39-42) the graph also lowers to a padded ELL layout
+(`to_ell`): a static [G, max_degree] neighbor table that gathers cleanly
+under jit with no ragged shapes.
+
+Host-side: per-node labels ("Product"/"Category"/"Document"/"Annotation"),
+keys (product_id / filename), display texts, and the node->embedding-row
+back-link (the reference's ``embedding_index`` property,
+knowledge_graph.py:264-327).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hcrag_tpu.core.types import EDGE_TYPES, edge_type_id
+
+
+@dataclasses.dataclass
+class EllAdjacency:
+    """Padded neighbor table for static-shape expansion."""
+
+    neighbors: np.ndarray  # [G, max_deg] int32, -1 padding
+    etypes: np.ndarray  # [G, max_deg] int8, -1 padding
+    degrees: np.ndarray  # [G] int32 (true degree, may exceed max_deg)
+
+    @property
+    def max_degree(self) -> int:
+        return int(self.neighbors.shape[1])
+
+
+@dataclasses.dataclass
+class CsrGraph:
+    row_ptr: np.ndarray  # [G+1] int32
+    col_idx: np.ndarray  # [E] int32
+    edge_type: np.ndarray  # [E] int8
+    node_labels: List[str]  # Neo4j-style label per node
+    node_keys: List  # identity key (product_id, filename, ...)
+    node_texts: List[str]  # display/scoring text per node
+    node_to_row: np.ndarray  # [G] int32 embedding row, -1 if none
+    #: Directed edge counts by type as created by the build rules, BEFORE
+    #: symmetrization — comparable to Neo4j's relationship statistics
+    #: (knowledge_graph.py:437-446).
+    directed_counts: Dict[str, int] = dataclasses.field(default_factory=dict)
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.node_labels)
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.col_idx.shape[0])
+
+    # --- constructors -------------------------------------------------------
+    @classmethod
+    def from_edges(
+        cls,
+        num_nodes: int,
+        src: np.ndarray,
+        dst: np.ndarray,
+        etype: np.ndarray,
+        *,
+        node_labels: Sequence[str],
+        node_keys: Sequence,
+        node_texts: Sequence[str],
+        node_to_row: Optional[np.ndarray] = None,
+        symmetrize: bool = True,
+    ) -> "CsrGraph":
+        """Build CSR from a directed edge list.
+
+        With ``symmetrize=True`` each directed edge also appears reversed —
+        matching Neo4j's undirected ``-[r]-`` traversal used by every
+        expansion query in the reference (subgraph_expander.py:210-243,
+        neo4j_rag_langgraph.py:493-505).
+        """
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        etype = np.asarray(etype, dtype=np.int8)
+        directed_counts: Dict[str, int] = {}
+        for et in etype:
+            name = EDGE_TYPES[int(et)]
+            directed_counts[name] = directed_counts.get(name, 0) + 1
+        if symmetrize:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            etype = np.concatenate([etype, etype])
+            # Dedup (src, dst, type) triples: rules like SAME_CATEGORY emit
+            # both ordered pairs, so symmetrization would double them.
+            key = (src * num_nodes + dst) * len(EDGE_TYPES) + etype
+            _, first = np.unique(key, return_index=True)
+            first.sort()
+            src, dst, etype = src[first], dst[first], etype[first]
+        # Sort by (src, insertion order) — stable sort keeps the creation
+        # order of a node's edges, giving deterministic expansion order.
+        order = np.argsort(src, kind="stable")
+        src, dst, etype = src[order], dst[order], etype[order]
+        counts = np.bincount(src, minlength=num_nodes)
+        row_ptr = np.zeros(num_nodes + 1, dtype=np.int32)
+        np.cumsum(counts, out=row_ptr[1:])
+        if node_to_row is None:
+            node_to_row = np.full(num_nodes, -1, dtype=np.int32)
+        return cls(
+            row_ptr=row_ptr,
+            col_idx=dst.astype(np.int32),
+            edge_type=etype,
+            node_labels=list(node_labels),
+            node_keys=list(node_keys),
+            node_texts=list(node_texts),
+            node_to_row=np.asarray(node_to_row, dtype=np.int32),
+            directed_counts=directed_counts,
+        )
+
+    # --- layout lowering ----------------------------------------------------
+    def to_ell(
+        self,
+        edge_type_whitelist: Optional[Sequence[str]] = None,
+        max_degree: Optional[int] = None,
+    ) -> EllAdjacency:
+        """Lower (optionally edge-type-filtered) adjacency to padded ELL.
+
+        The default whitelist of None keeps all edges.  ``max_degree`` caps
+        the per-node neighbor count (first-created edges win, deterministic);
+        None sizes the table to the true maximum filtered degree.
+        """
+        g = self.num_nodes
+        if edge_type_whitelist is not None:
+            allowed = np.zeros(len(EDGE_TYPES), dtype=bool)
+            for name in edge_type_whitelist:
+                allowed[edge_type_id(name)] = True
+            keep = allowed[self.edge_type]
+        else:
+            keep = np.ones_like(self.edge_type, dtype=bool)
+
+        # Per-node filtered neighbor lists (vectorized split).
+        degrees = np.zeros(g, dtype=np.int32)
+        starts = self.row_ptr[:-1]
+        ends = self.row_ptr[1:]
+        kept_per_node: List[np.ndarray] = []
+        types_per_node: List[np.ndarray] = []
+        for node in range(g):
+            sl = slice(starts[node], ends[node])
+            mask = keep[sl]
+            nbrs = self.col_idx[sl][mask]
+            degrees[node] = nbrs.shape[0]
+            kept_per_node.append(nbrs)
+            types_per_node.append(self.edge_type[sl][mask])
+
+        md = int(max_degree) if max_degree is not None else int(degrees.max(initial=0))
+        md = max(md, 1)
+        neighbors = np.full((g, md), -1, dtype=np.int32)
+        etypes = np.full((g, md), -1, dtype=np.int8)
+        for node in range(g):
+            k = min(int(degrees[node]), md)
+            neighbors[node, :k] = kept_per_node[node][:k]
+            etypes[node, :k] = types_per_node[node][:k]
+        return EllAdjacency(neighbors=neighbors, etypes=etypes, degrees=degrees)
+
+    # --- statistics (knowledge_graph.py:423-447) ----------------------------
+    def statistics(self) -> Dict:
+        nodes: Dict[str, int] = {}
+        for label in self.node_labels:
+            nodes[label] = nodes.get(label, 0) + 1
+        return {"nodes": nodes, "relationships": dict(self.directed_counts)}
+
+    def neighbors_of(self, node: int) -> Tuple[np.ndarray, np.ndarray]:
+        sl = slice(self.row_ptr[node], self.row_ptr[node + 1])
+        return self.col_idx[sl], self.edge_type[sl]
+
+    # --- persistence --------------------------------------------------------
+    def save(self, directory) -> None:
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            directory / "graph.npz",
+            row_ptr=self.row_ptr,
+            col_idx=self.col_idx,
+            edge_type=self.edge_type,
+            node_to_row=self.node_to_row,
+        )
+        with open(directory / "graph_meta.json", "w") as f:
+            json.dump(
+                {
+                    "node_labels": self.node_labels,
+                    "node_keys": [str(k) for k in self.node_keys],
+                    "node_texts": self.node_texts,
+                    "directed_counts": self.directed_counts,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, directory) -> "CsrGraph":
+        directory = Path(directory)
+        arrays = np.load(directory / "graph.npz")
+        with open(directory / "graph_meta.json") as f:
+            meta = json.load(f)
+        return cls(
+            row_ptr=arrays["row_ptr"],
+            col_idx=arrays["col_idx"],
+            edge_type=arrays["edge_type"],
+            node_labels=meta["node_labels"],
+            node_keys=meta["node_keys"],
+            node_texts=meta["node_texts"],
+            node_to_row=arrays["node_to_row"],
+            directed_counts=meta.get("directed_counts", {}),
+        )

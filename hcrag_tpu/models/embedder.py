@@ -1,0 +1,103 @@
+"""Text embedders.
+
+The reference embeds every text with SentenceTransformer all-MiniLM-L6-v2,
+one call per row (embedding_generator.py:18-21, :124).  This build treats the
+embedder as a pluggable component with a batched `encode(texts) -> [N, D]`
+contract:
+
+  * `HashingEmbedder` — the default: deterministic feature-hashed bag of
+    words + bigrams, L2-normalized, zero external weights.  Embeddings are
+    not MiniLM-compatible, but cosine geometry over shared tokens behaves
+    sensibly and identically across runs/hosts, which is what the framework's
+    tests and benchmarks need.  (This environment has no model weights; the
+    reference's .pkl artifact supplies real MiniLM vectors for parity tests.)
+  * `SentenceTransformerEmbedder` — thin gated adapter used when the weights
+    are available locally; batched encode instead of per-row.
+  * `FlaxMiniLMEmbedder` (models/minilm.py) — on-device MiniLM-architecture
+    encoder for TPU-side embedding when a weight checkpoint is supplied.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List, Protocol, Sequence
+
+import numpy as np
+
+from hcrag_tpu.config import EMBED_DIM
+
+
+class TextEmbedder(Protocol):
+    dim: int
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray: ...
+
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _stable_hash(token: str) -> int:
+    """Stable 64-bit hash (process-seed independent, unlike Python's hash)."""
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+class HashingEmbedder:
+    """Deterministic feature-hashing sentence embedder.
+
+    Tokens and adjacent bigrams are hashed into `dim` buckets with a +-1 sign
+    bit; vectors are L2-normalized.  Shared vocabulary => high cosine,
+    disjoint => near zero, matching the ordinal behavior retrieval relies on.
+    """
+
+    def __init__(self, dim: int = EMBED_DIM, use_bigrams: bool = True):
+        self.dim = dim
+        self.use_bigrams = use_bigrams
+
+    def _features(self, text: str) -> List[str]:
+        tokens = _TOKEN_RE.findall(text.lower())
+        feats = list(tokens)
+        if self.use_bigrams:
+            feats.extend(f"{a}_{b}" for a, b in zip(tokens, tokens[1:]))
+        return feats
+
+    def encode_one(self, text: str) -> np.ndarray:
+        vec = np.zeros(self.dim, dtype=np.float32)
+        for feat in self._features(text):
+            h = _stable_hash(feat)
+            bucket = h % self.dim
+            sign = 1.0 if (h >> 32) & 1 else -1.0
+            vec[bucket] += sign
+        norm = np.linalg.norm(vec)
+        return vec / norm if norm > 0 else vec
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        return np.stack([self.encode_one(t) for t in texts], axis=0)
+
+
+class SentenceTransformerEmbedder:
+    """Gated adapter over sentence-transformers (batched, unlike the
+    reference's per-row encode)."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2"):
+        from sentence_transformers import SentenceTransformer  # gated import
+
+        self.model = SentenceTransformer(model_name)
+        self.dim = self.model.get_sentence_embedding_dimension()
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        return np.asarray(self.model.encode(list(texts), batch_size=64))
+
+
+def default_embedder(dim: int = EMBED_DIM) -> TextEmbedder:
+    """Best available embedder: SentenceTransformer if its weights are cached
+    locally, else the deterministic hashing embedder."""
+    try:
+        import os
+
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        return SentenceTransformerEmbedder()
+    except Exception:
+        return HashingEmbedder(dim=dim)
