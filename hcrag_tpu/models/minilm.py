@@ -1,0 +1,169 @@
+"""FlaxMiniLM — on-device MiniLM-class sentence encoder.
+
+The reference treats `all-MiniLM-L6-v2` as a black-box host-side model
+(embedding_generator.py:18-21).  This module is the TPU-native counterpart: a
+BERT-style encoder in Flax matching MiniLM-L6's architecture (6 layers,
+hidden 384, 12 heads, FFN 1536, vocab 30522) with mean pooling + L2 norm —
+exactly the sentence-transformers pooling recipe — compiled with jit/pjit so
+query/corpus embedding can run on the same chips as retrieval.
+
+Weights: randomly initialized unless a checkpoint is supplied via
+`load_params` (numpy .npz with HF BERT parameter names).  In this
+zero-egress build no pretrained weights exist, so the encoder serves as the
+architecture-true compute path (benchmarkable, shardable) while the
+deterministic `HashingEmbedder` provides semantic embeddings for tests.
+
+Tokenization: `SimpleTokenizer`, a lowercase wordpiece-less hash tokenizer
+(deterministic vocab-bucket ids).  With a real vocab.txt available,
+`WordPieceTokenizer` replicates BERT tokenization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class MiniLMConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_layers: int = 6
+    num_heads: int = 12
+    intermediate_size: int = 1536
+    max_position: int = 512
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+
+
+class TransformerLayer(nn.Module):
+    cfg: MiniLMConfig
+
+    @nn.compact
+    def __call__(self, x, mask):
+        cfg = self.cfg
+        attn_out = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads,
+            qkv_features=cfg.hidden_size,
+            out_features=cfg.hidden_size,
+            dtype=x.dtype,
+        )(x, x, mask=mask)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=x.dtype)(x + attn_out)
+        h = nn.Dense(cfg.intermediate_size, dtype=x.dtype)(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, dtype=x.dtype)(h)
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=x.dtype)(x + h)
+
+
+class MiniLMEncoder(nn.Module):
+    cfg: MiniLMConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        cfg = self.cfg
+        b, s = input_ids.shape
+        tok = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype)(input_ids)
+        pos_ids = jnp.arange(s)[None, :]
+        pos = nn.Embed(cfg.max_position, cfg.hidden_size, dtype=self.dtype)(pos_ids)
+        seg = nn.Embed(2, cfg.hidden_size, dtype=self.dtype)(
+            jnp.zeros_like(input_ids)
+        )
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype)(
+            tok + pos + seg
+        )
+        # [B, 1, S, S] additive-free boolean mask for MHA
+        attn_mask = attention_mask[:, None, None, :].astype(bool)
+        for _ in range(cfg.num_layers):
+            x = TransformerLayer(cfg)(x, attn_mask)
+        # Mean pooling over valid tokens + L2 norm (the sentence-transformers
+        # pooling used by all-MiniLM-L6-v2).
+        m = attention_mask[..., None].astype(x.dtype)
+        pooled = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+        norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+        return pooled / jnp.maximum(norm, 1e-12)
+
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
+
+
+class SimpleTokenizer:
+    """Deterministic hash tokenizer: words -> stable vocab buckets.
+
+    ids 0/101/102 reserved as pad/CLS/SEP like BERT.
+    """
+
+    def __init__(self, vocab_size: int = 30522, max_len: int = 128):
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+
+    def encode_batch(self, texts: Sequence[str]):
+        import hashlib
+
+        ids = np.zeros((len(texts), self.max_len), dtype=np.int32)
+        mask = np.zeros((len(texts), self.max_len), dtype=np.int32)
+        for i, text in enumerate(texts):
+            words = _WORD_RE.findall(text.lower())[: self.max_len - 2]
+            row = [101]
+            for w in words:
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=4).digest(), "little"
+                )
+                row.append(999 + h % (self.vocab_size - 1000))
+            row.append(102)
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return ids, mask
+
+
+class FlaxMiniLMEmbedder:
+    """Batched on-device text embedder with the MiniLM architecture."""
+
+    def __init__(
+        self,
+        cfg: Optional[MiniLMConfig] = None,
+        tokenizer=None,
+        seed: int = 0,
+        dtype=jnp.float32,
+        max_len: int = 128,
+    ):
+        self.cfg = cfg or MiniLMConfig()
+        self.dim = self.cfg.hidden_size
+        self.tokenizer = tokenizer or SimpleTokenizer(
+            self.cfg.vocab_size, max_len=max_len
+        )
+        self.model = MiniLMEncoder(self.cfg, dtype=dtype)
+        dummy = jnp.zeros((1, 8), jnp.int32)
+        self.params = self.model.init(
+            jax.random.PRNGKey(seed), dummy, jnp.ones_like(dummy)
+        )
+        self._apply = jax.jit(self.model.apply)
+
+    def load_params(self, npz_path: str) -> None:
+        """Load parameters from an .npz checkpoint (flattened '/'-joined
+        flax paths)."""
+        import flax.traverse_util as tu
+
+        flat = dict(np.load(npz_path))
+        restored = tu.unflatten_dict(
+            {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()}
+        )
+        self.params = {"params": restored.get("params", restored)}
+
+    def save_params(self, npz_path: str) -> None:
+        import flax.traverse_util as tu
+
+        flat = tu.flatten_dict(self.params)
+        np.savez(
+            npz_path, **{"/".join(k): np.asarray(v) for k, v in flat.items()}
+        )
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        ids, mask = self.tokenizer.encode_batch(list(texts))
+        return np.asarray(self._apply(self.params, ids, mask))

@@ -1,0 +1,161 @@
+"""k-hop subgraph expansion over padded (ELL) adjacency — jit-compatible.
+
+Device-side replacement for `SubgraphExpander` (subgraph_expander.py:44-190)
+and the agent's per-node expansion Cypher (neo4j_rag_langgraph.py:476-537).
+The reference walks Neo4j one node at a time over the whitelisted
+relationships {ANNOTATION, DESCRIBED_BY}; here the whitelist is applied when
+lowering the graph to ELL (`CsrGraph.to_ell`), and expansion is a fixed-depth
+breadth-first sweep with static shapes:
+
+  * frontier gathers are `take` over the [G, M] neighbor table,
+  * ordered dedup uses a scatter-min first-occurrence trick (O(C + G), no
+    sort), preserving the reference's append-in-discovery-order semantics,
+  * the `max_connected_nodes` cap keeps the FIRST discovered nodes, matching
+    the reference's "stop adding once the cap is hit" loop
+    (subgraph_expander.py:172-183).
+
+Returns fixed-size [max_nodes] id buffers padded with -1 plus a count, so the
+whole thing nests inside a jitted query step and vmaps over query batches.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _ordered_unique_mask(candidates: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+    """Boolean mask keeping the first occurrence of each valid (>= 0) id.
+
+    candidates: [C] int32 with -1 padding.
+    """
+    c = candidates.shape[0]
+    positions = jnp.arange(c, dtype=jnp.int32)
+    # Scatter position indices, keeping the minimum per node id.
+    safe_ids = jnp.where(candidates >= 0, candidates, num_nodes)
+    first_pos = jnp.full((num_nodes + 1,), c, dtype=jnp.int32)
+    first_pos = first_pos.at[safe_ids].min(positions)
+    return (candidates >= 0) & (first_pos[safe_ids] == positions)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("depth", "max_nodes", "exclude_seeds")
+)
+def expand_k_hop(
+    neighbors: jnp.ndarray,
+    seeds: jnp.ndarray,
+    *,
+    depth: int = 1,
+    max_nodes: int = 20,
+    exclude_seeds: bool = False,
+    hop2_neighbors: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expand a seed set over whitelisted adjacency.
+
+    Args:
+      neighbors: [G, M] int32 padded neighbor table (-1 = no edge), already
+        filtered to the expansion whitelist.
+      seeds: [S] int32 seed node ids, -1 padding.
+      depth: number of hops (1 or 2 in the reference,
+        subgraph_expander.py:45).
+      max_nodes: cap on returned connected nodes
+        (max_connected_nodes, subgraph_expander.py:46).
+      exclude_seeds: drop seed ids from the result (the agent path keeps
+        duplicates of scored nodes, so the default is False).
+      hop2_neighbors: optional [G, M2] table used for the SECOND hop.  The
+        reference's depth-2 path is Product -> Document -> ANNOTATION only
+        (subgraph_expander.py:216-218) — pass an ANNOTATION-only table here
+        to replicate it; None reuses `neighbors` (generic BFS).
+
+    Returns:
+      (connected [max_nodes] int32 padded with -1, count scalar int32).
+      Order = discovery order: hop-1 neighbors of seed 0, of seed 1, ...,
+      then hop-2, deduplicated keeping first occurrence.
+    """
+    g, m = neighbors.shape
+    s = seeds.shape[0]
+
+    def gather_frontier(table: jnp.ndarray, frontier: jnp.ndarray) -> jnp.ndarray:
+        """[F] -> [F*M] neighbor candidates in frontier-major order."""
+        safe = jnp.where(frontier >= 0, frontier, 0)
+        nbrs = table[safe]  # [F, M]
+        nbrs = jnp.where((frontier >= 0)[:, None], nbrs, -1)
+        return nbrs.reshape(-1)
+
+    # Hop 1.
+    hop1 = gather_frontier(neighbors, seeds)  # [S*M]
+    candidates = hop1
+    if depth >= 2:
+        # Hop 2 frontier = deduped hop-1 nodes (bounded buffer S*M).
+        hop1_mask = _ordered_unique_mask(hop1, g)
+        hop1_frontier = jnp.where(hop1_mask, hop1, -1)
+        table2 = neighbors if hop2_neighbors is None else hop2_neighbors
+        hop2 = gather_frontier(table2, hop1_frontier)  # [S*M*M2]
+        candidates = jnp.concatenate([hop1, hop2])
+
+    keep = _ordered_unique_mask(candidates, g)
+    if exclude_seeds:
+        # Mark seeds as already-seen.
+        seed_hit = (candidates[:, None] == seeds[None, :]).any(axis=1)
+        keep = keep & ~seed_hit
+
+    # Cap: keep the first `max_nodes` surviving candidates.
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    keep = keep & (rank < max_nodes)
+    count = jnp.sum(keep.astype(jnp.int32))
+
+    # Compact into a fixed [max_nodes] buffer ordered by rank.
+    out = jnp.full((max_nodes,), -1, dtype=jnp.int32)
+    safe_rank = jnp.where(keep, rank, max_nodes)
+    out = out.at[safe_rank.clip(0, max_nodes)].set(
+        jnp.where(keep, candidates, -1).astype(jnp.int32), mode="drop"
+    )
+    return out, count
+
+
+def expand_batch(
+    neighbors: jnp.ndarray,
+    seed_batch: jnp.ndarray,
+    *,
+    depth: int = 1,
+    max_nodes: int = 20,
+    exclude_seeds: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vmapped expansion for a batch of seed sets ([B, S] -> [B, max_nodes])."""
+    fn = functools.partial(
+        expand_k_hop,
+        depth=depth,
+        max_nodes=max_nodes,
+        exclude_seeds=exclude_seeds,
+    )
+    return jax.vmap(lambda s: fn(neighbors, s))(seed_batch)
+
+
+def expansion_edges_host(
+    graph, seeds, *, whitelist=("ANNOTATION", "DESCRIBED_BY"), max_nodes: int = 20
+):
+    """Host-side edge enumeration for visualization (discovery-ordered
+    (src, dst, edge_type) triples), mirroring `_create_relationship_edge`
+    output (subgraph_expander.py:321-352).  Small-set helper, not a kernel."""
+    from hcrag_tpu.core.types import edge_type_id
+
+    allowed = {edge_type_id(w) for w in whitelist}
+    edges = []
+    seen = set()
+    count = 0
+    for seed in seeds:
+        if seed < 0:
+            continue
+        nbrs, types = graph.neighbors_of(int(seed))
+        for nb, t in zip(nbrs, types):
+            if int(t) not in allowed:
+                continue
+            if int(nb) not in seen and count < max_nodes:
+                seen.add(int(nb))
+                count += 1
+            if int(nb) in seen:
+                edges.append((int(seed), int(nb), int(t)))
+    return edges

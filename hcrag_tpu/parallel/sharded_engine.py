@@ -1,0 +1,90 @@
+"""ShardedQueryEngine — the multi-chip query path.
+
+Extends `QueryEngine` with index rows sharded over the `rows` mesh axis (ICI
+domain).  Memory/communication layout (SURVEY §2.3, §5.8):
+
+  * `emb` [N, D]           — SHARDED along rows (the dominant array:
+                              ~1.5 KB/row at D=384 f32, 768 B bf16)
+  * per-row feature tables — replicated (tens of bytes per row)
+  * queries                — replicated; per-shard top-k candidates merged
+                              over ICI via all_gather (O(shards*k))
+  * graph adjacency        — replicated in this engine (shard when G*M grows
+                              past HBM; `sharded_row_gather` provides the
+                              cross-shard gather primitive for that case)
+
+The sharded path is bit-identical to the single-device engine: same scores,
+same deterministic lowest-global-index tie-breaking, verified by the 8-device
+CPU-mesh tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcrag_tpu.core.dense_index import DenseIndex
+from hcrag_tpu.core.graph import CsrGraph
+from hcrag_tpu.parallel.mesh import ROWS_AXIS, make_row_mesh, row_sharding
+from hcrag_tpu.parallel.sharded_ops import pad_rows, sharded_top_k
+from hcrag_tpu.query.engine import QueryEngine
+
+
+class ShardedQueryEngine(QueryEngine):
+    def __init__(
+        self,
+        index: DenseIndex,
+        graph: Optional[CsrGraph] = None,
+        *,
+        mesh=None,
+        embedder=None,
+        ell_max_degree: Optional[int] = None,
+    ):
+        self.mesh = mesh if mesh is not None else make_row_mesh()
+        n_shards = self.mesh.shape[ROWS_AXIS]
+
+        # Pad the row axis so it divides evenly across shards; padded rows are
+        # masked out of every top-k by `_row_valid`.
+        emb_padded, n_orig = pad_rows(np.asarray(index.emb), n_shards)
+        self._n_orig = n_orig
+        self._n_padded = emb_padded.shape[0]
+
+        super().__init__(
+            index, graph, embedder=embedder, ell_max_degree=ell_max_degree
+        )
+
+        # Re-place the big arrays with explicit shardings.
+        self.d_emb = jax.device_put(jnp.asarray(emb_padded), row_sharding(self.mesh))
+        # Feature tables stay replicated but need row padding to match
+        # gathered indices (pad rows never escape the mask, but keep shapes
+        # consistent for safety).
+        self.d_type_ids = jnp.asarray(
+            pad_rows(index.type_ids, n_shards, pad_value=0)[0]
+        )
+        self.d_bits = jnp.asarray(pad_rows(index.entity_bits, n_shards)[0])
+        self.d_counts = jnp.asarray(pad_rows(index.entity_counts, n_shards)[0])
+        self.d_graph_ids = jnp.asarray(
+            pad_rows(index.graph_ids, n_shards, pad_value=-1)[0]
+        )
+        self._row_valid = jnp.asarray(
+            np.arange(self._n_padded) < n_orig
+        )
+
+    def _gather_emb_rows(self, indices):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return self.d_emb.at[indices].get(
+            out_sharding=NamedSharding(self.mesh, P())
+        )
+
+    def _topk_impl(self, q_emb, type_mask, top_k: int):
+        # type_mask arrives sized [n_orig]; pad + combine with validity.
+        pad = self._n_padded - self._n_orig
+        if pad:
+            type_mask = jnp.concatenate(
+                [type_mask, jnp.zeros((pad,), dtype=bool)]
+            )
+        mask = type_mask & self._row_valid
+        return sharded_top_k(self.mesh, q_emb, self.d_emb, top_k, mask)

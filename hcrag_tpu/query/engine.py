@@ -1,0 +1,429 @@
+"""QueryEngine — the batched, jitted query path.
+
+Single-device rebuild of the reference's query stack (SURVEY §3.2, §3.3):
+
+  reference                                   here
+  ---------                                   ----
+  EmbeddingRAGSystem.process_query            QueryEngine.process_query
+    (main.py:790-829)                           (host wrapper, same dict shape)
+  find_similar_content (main.py:831-857)      one fused device step: cosine
+  search_by_category (main.py:859-905)          matmul + chunked top-k (+ type
+                                                mask for category search)
+  SubgraphExpander.expand_subgraph            expand_batch over ELL adjacency
+    (subgraph_expander.py:44-96)                inside the same jit
+  batch_isRelevant (isRelevant.py:425-501)    fused metric stack + weighted
+                                                reduction on the top-k rows
+                                                and on expanded graph nodes
+  combined = 0.7*rel + 0.3*sim                same constants
+    (enhanced_rag_system.py:148)
+
+Everything between query-embedding input and (scores, ids) output is ONE
+compiled XLA program per (batch, k, depth) shape; compiled programs are
+cached on the engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hcrag_tpu import config as cfg
+from hcrag_tpu.core.dense_index import DenseIndex
+from hcrag_tpu.core.graph import CsrGraph
+from hcrag_tpu.core.types import (
+    EXPANSION_EDGE_TYPES,
+    REDUCE_MAX,
+    CompositeWeights,
+    QueryIntent,
+    ScorerType,
+    node_type_id,
+    scorer_spec,
+)
+from hcrag_tpu.ingest.entities import (
+    extract_entities_from_content,
+    infer_query_intent,
+)
+from hcrag_tpu.ops.expand import expand_k_hop
+from hcrag_tpu.ops.scoring import entity_match_scores, popcount_words
+from hcrag_tpu.ops.similarity import chunked_top_k, masked_top_k
+
+_GRAPH_LABEL_TO_TYPE = {
+    "Product": "product",
+    "Category": "category",
+    "Document": "document",
+    "Annotation": "annotation",
+}
+
+
+@dataclasses.dataclass
+class QueryBatchResult:
+    """Device outputs for a query batch (all [B, ...])."""
+
+    top_scores: np.ndarray  # [B, k] cosine similarity
+    top_indices: np.ndarray  # [B, k] index rows
+    relevance: np.ndarray  # [B, k] isRelevant scores of retrieved rows
+    combined: np.ndarray  # [B, k] 0.7*rel + 0.3*sim
+    expanded_nodes: np.ndarray  # [B, max_expanded] graph node ids (-1 pad)
+    expanded_counts: np.ndarray  # [B]
+    expanded_relevance: np.ndarray  # [B, max_expanded]
+
+
+class QueryEngine:
+    """Single-device query engine over a DenseIndex (+ optional CsrGraph)."""
+
+    def __init__(
+        self,
+        index: DenseIndex,
+        graph: Optional[CsrGraph] = None,
+        *,
+        embedder=None,
+        ell_max_degree: Optional[int] = None,
+        device=None,
+    ):
+        self.index = index
+        self.graph = graph
+        if embedder is None:
+            from hcrag_tpu.models.embedder import default_embedder
+
+            embedder = default_embedder(index.dim)
+        self.embedder = embedder
+
+        put = functools.partial(jax.device_put, device=device)
+        # Device-resident index bank.
+        self.d_emb = put(jnp.asarray(index.emb))
+        self.d_type_ids = put(jnp.asarray(index.type_ids))
+        self.d_bits = put(jnp.asarray(index.entity_bits))
+        self.d_counts = put(jnp.asarray(index.entity_counts))
+        self.d_graph_ids = put(jnp.asarray(index.graph_ids))
+
+        # Graph bank (expansion + expanded-node scoring).
+        if graph is not None:
+            ell = graph.to_ell(EXPANSION_EDGE_TYPES, max_degree=ell_max_degree)
+            self.d_neighbors = put(jnp.asarray(ell.neighbors))
+            # Second-hop table: ANNOTATION edges only — the reference's
+            # depth-2 path is Product -> Document -> Annotation
+            # (subgraph_expander.py:216-218), never Document -> other
+            # products of the same document.
+            ell2 = graph.to_ell(("ANNOTATION",), max_degree=ell_max_degree)
+            self.d_neighbors_hop2 = put(jnp.asarray(ell2.neighbors))
+            g_types = np.array(
+                [
+                    node_type_id(_GRAPH_LABEL_TO_TYPE.get(lbl, "unknown"))
+                    for lbl in graph.node_labels
+                ],
+                dtype=np.int32,
+            )
+            self.d_g_type_ids = put(jnp.asarray(g_types))
+            self.d_g_row = put(jnp.asarray(graph.node_to_row))
+        else:
+            self.d_neighbors = None
+            self.d_neighbors_hop2 = None
+            self.d_g_type_ids = None
+            self.d_g_row = None
+
+        self._step_cache: Dict[Tuple, callable] = {}
+
+    # ------------------------------------------------------------------
+    # Device step construction
+    # ------------------------------------------------------------------
+    def _gather_emb_rows(self, indices):
+        """Gather embedding rows at arbitrary indices ([..., D]).  Overridden
+        by the sharded engine: a gather from a row-sharded table needs an
+        explicit replicated out-sharding (XLA inserts the collective)."""
+        return self.d_emb[indices]
+
+    def _topk_impl(self, q_emb, type_mask, top_k: int):
+        """Dense cosine + masked top-k (single-device path).  The sharded
+        engine overrides this with a shard_map'd local-topk + ICI merge."""
+        scores = jnp.dot(
+            q_emb.astype(self.d_emb.dtype),
+            self.d_emb.T,
+            preferred_element_type=jnp.float32,
+        )  # [B, N] cosine
+        return masked_top_k(scores, type_mask, top_k)
+
+    def _build_step(self, top_k: int, depth: int, max_expanded: int, reduction: int):
+        emb = self.d_emb
+        type_ids = self.d_type_ids
+        bits = self.d_bits
+        counts = self.d_counts
+        graph_ids = self.d_graph_ids
+        neighbors = self.d_neighbors
+        neighbors_hop2 = self.d_neighbors_hop2
+        g_type_ids = self.d_g_type_ids
+        g_row = self.d_g_row
+        has_graph = neighbors is not None
+
+        from hcrag_tpu.core.types import PRIORITY_MATRIX
+
+        priority = jnp.asarray(PRIORITY_MATRIX)
+
+        def _metrics_reduce(sem, llm, ent, typ, weights):
+            metrics = jnp.stack([sem, llm, ent, typ], axis=-1)
+            if reduction == REDUCE_MAX:
+                return jnp.max(metrics, axis=-1)
+            return jnp.einsum("...m,m->...", metrics, weights)
+
+        topk_impl = self._topk_impl
+        gather_emb = self._gather_emb_rows
+
+        def step(q_emb, q_bits, q_oov, intent_ids, weights, type_mask, llm_topk):
+            # q_emb [B, D] (L2-normalized on host), q_bits [B, W], q_oov [B],
+            # intent_ids [B], weights [4], type_mask [N] bool (all-True when
+            # unfiltered), llm_topk [B, k] host LLM-judge column (zeros if
+            # absent).
+            top_v, top_i = topk_impl(q_emb, type_mask, top_k)
+
+            # --- relevance metrics on retrieved rows --------------------
+            sem = (top_v + 1.0) * 0.5
+            row_bits = bits[top_i]  # [B, k, W]
+            row_counts = counts[top_i]
+            q_count = popcount_words(q_bits) + q_oov  # [B]
+            inter = popcount_words(q_bits[:, None, :] & row_bits)  # [B, k]
+            ratio = inter.astype(jnp.float32) / jnp.maximum(
+                q_count[:, None].astype(jnp.float32), 1.0
+            )
+            ent = jnp.where(
+                (q_count == 0)[:, None],
+                jnp.where(row_counts == 0, 0.5, 0.1),
+                ratio,
+            )
+            typ = priority[intent_ids[:, None], type_ids[top_i]]
+            rel = _metrics_reduce(sem, llm_topk, ent, typ, weights)
+            combined = (
+                cfg.COMBINED_RELEVANCE_WEIGHT * rel
+                + cfg.COMBINED_SIMILARITY_WEIGHT * top_v
+            )
+
+            if not has_graph:
+                z = jnp.zeros((q_emb.shape[0], max_expanded))
+                return (
+                    top_v, top_i, rel, combined,
+                    jnp.full((q_emb.shape[0], max_expanded), -1, jnp.int32),
+                    jnp.zeros((q_emb.shape[0],), jnp.int32),
+                    z,
+                )
+
+            # --- expansion -----------------------------------------------
+            seeds = jnp.where(top_v >= -1.0, graph_ids[top_i], -1)  # [B, k]
+            expanded, exp_count = jax.vmap(
+                lambda s: expand_k_hop(
+                    neighbors,
+                    s,
+                    depth=depth,
+                    max_nodes=max_expanded,
+                    hop2_neighbors=neighbors_hop2,
+                )
+            )(seeds)
+
+            # --- expanded-node scoring -----------------------------------
+            valid = expanded >= 0
+            safe_nodes = jnp.where(valid, expanded, 0)
+            rows = g_row[safe_nodes]  # [B, E] (-1 if node has no embedding)
+            has_row = rows >= 0
+            safe_rows = jnp.where(has_row, rows, 0)
+            e_emb = gather_emb(safe_rows).astype(jnp.float32) * has_row[..., None]
+            sem_e = (
+                jnp.einsum("bd,bed->be", q_emb.astype(jnp.float32), e_emb) + 1.0
+            ) * 0.5
+            e_bits = bits[safe_rows] * has_row[..., None].astype(jnp.uint32)
+            e_counts = jnp.where(has_row, counts[safe_rows], 0)
+            inter_e = popcount_words(q_bits[:, None, :] & e_bits)
+            ratio_e = inter_e.astype(jnp.float32) / jnp.maximum(
+                q_count[:, None].astype(jnp.float32), 1.0
+            )
+            ent_e = jnp.where(
+                (q_count == 0)[:, None],
+                jnp.where(e_counts == 0, 0.5, 0.1),
+                ratio_e,
+            )
+            typ_e = priority[intent_ids[:, None], g_type_ids[safe_nodes]]
+            rel_e = _metrics_reduce(
+                sem_e, jnp.zeros_like(sem_e), ent_e, typ_e, weights
+            )
+            rel_e = jnp.where(valid, rel_e, 0.0)
+            return top_v, top_i, rel, combined, expanded, exp_count, rel_e
+
+        return jax.jit(step)
+
+    def _step(self, top_k: int, depth: int, max_expanded: int, reduction: int):
+        key = (top_k, depth, max_expanded, reduction)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(*key)
+        return self._step_cache[key]
+
+    # ------------------------------------------------------------------
+    # Batched device-level API
+    # ------------------------------------------------------------------
+    def query_batch(
+        self,
+        query_embs: np.ndarray,
+        *,
+        top_k: int = cfg.DEFAULT_TOP_K,
+        intents: Optional[Sequence[QueryIntent]] = None,
+        entity_lists: Optional[Sequence[Sequence[str]]] = None,
+        scorer_type: ScorerType = ScorerType.COMPOSITE,
+        weights: Optional[CompositeWeights] = None,
+        expansion_depth: int = cfg.EXPANSION_DEPTH,
+        max_expanded: int = cfg.MAX_CONNECTED_NODES,
+        category_filter: Optional[str] = None,
+        llm_scores: Optional[np.ndarray] = None,
+    ) -> QueryBatchResult:
+        """Run the fused retrieve->expand->score step on a query batch."""
+        q = np.asarray(query_embs, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        b = q.shape[0]
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+        if intents is None:
+            intents = [QueryIntent.PRODUCT_SEARCH] * b
+        intent_ids = np.array([i.index for i in intents], dtype=np.int32)
+
+        vocab = self.index.vocab
+        if entity_lists is None:
+            entity_lists = [[] for _ in range(b)]
+        q_bits = np.zeros((b, vocab.num_words), dtype=np.uint32)
+        q_oov = np.zeros(b, dtype=np.int32)
+        for i, ents in enumerate(entity_lists):
+            q_bits[i], q_oov[i] = vocab.encode(ents)
+
+        if category_filter:
+            type_mask = self.index.type_mask(category_filter)
+        else:
+            type_mask = np.ones(self.index.n, dtype=bool)
+
+        w, reduction = scorer_spec(scorer_type, weights)
+        if llm_scores is None:
+            llm_topk = np.zeros((b, top_k), dtype=np.float32)
+        else:
+            llm_topk = np.asarray(llm_scores, dtype=np.float32)
+
+        step = self._step(top_k, expansion_depth, max_expanded, reduction)
+        out = step(
+            jnp.asarray(q),
+            jnp.asarray(q_bits),
+            jnp.asarray(q_oov),
+            jnp.asarray(intent_ids),
+            jnp.asarray(w),
+            jnp.asarray(type_mask),
+            jnp.asarray(llm_topk),
+        )
+        names = (
+            "top_scores", "top_indices", "relevance", "combined",
+            "expanded_nodes", "expanded_counts", "expanded_relevance",
+        )
+        return QueryBatchResult(**{n: np.asarray(v) for n, v in zip(names, out)})
+
+    # ------------------------------------------------------------------
+    # Reference-shaped host API
+    # ------------------------------------------------------------------
+    def find_similar_content(
+        self,
+        query_embedding: np.ndarray,
+        top_k: int = cfg.DEFAULT_TOP_K,
+        similarity_threshold: float = cfg.DEFAULT_SIMILARITY_THRESHOLD,
+    ) -> List[Dict]:
+        """Reference-identical result dicts (main.py:831-857)."""
+        res = self.query_batch(query_embedding, top_k=top_k)
+        results = []
+        for score, idx in zip(res.top_scores[0], res.top_indices[0]):
+            if score >= similarity_threshold:
+                results.append(
+                    {
+                        "content": self.index.texts[int(idx)],
+                        "metadata": self.index.metadata[int(idx)],
+                        "similarity_score": float(score),
+                    }
+                )
+        return results
+
+    def process_query(
+        self,
+        query: str,
+        top_k: int = cfg.DEFAULT_TOP_K,
+        similarity_threshold: float = cfg.DEFAULT_SIMILARITY_THRESHOLD,
+        parser=None,
+    ) -> Dict:
+        """End-to-end single query (main.py:790-829): parse -> embed ->
+        retrieve -> summarize.  `parser` optionally supplies the LLM query
+        parser; without one the raw query is the search text (the reference's
+        fallback, main.py:786-788)."""
+        parsed = {"search_text": query}
+        if parser is not None:
+            try:
+                parsed = parser.parse_query(query)
+            except Exception:
+                parsed = {"search_text": query}
+        search_text = parsed.get("search_text", query)
+        query_embedding = np.asarray(self.embedder.encode([search_text])[0])
+        results = self.find_similar_content(
+            query_embedding, top_k=top_k, similarity_threshold=similarity_threshold
+        )
+        avg = (
+            float(np.mean([r["similarity_score"] for r in results]))
+            if results
+            else 0.0
+        )
+        return {
+            "parsed_query": parsed,
+            "search_text": search_text,
+            "results": results,
+            "summary": (
+                f"Found {len(results)} results with average similarity: {avg:.3f}"
+            ),
+            "query_embedding": query_embedding,
+        }
+
+    def search_by_category(
+        self,
+        query: str,
+        category_filter: Optional[str] = None,
+        top_k: int = cfg.DEFAULT_TOP_K,
+    ) -> Dict:
+        """Type-masked search (main.py:859-905): no threshold, ranked dicts."""
+        if category_filter and not self.index.type_mask(category_filter).any():
+            return {"results": [], "summary": "No items match the filter criteria"}
+        q_emb = np.asarray(self.embedder.encode([query])[0])
+        res = self.query_batch(q_emb, top_k=top_k, category_filter=category_filter)
+        results = []
+        for rank, (score, idx) in enumerate(
+            zip(res.top_scores[0], res.top_indices[0])
+        ):
+            if not np.isfinite(score):
+                continue
+            results.append(
+                {
+                    "rank": rank + 1,
+                    "similarity_score": float(score),
+                    "content": self.index.texts[int(idx)],
+                    "metadata": self.index.metadata[int(idx)],
+                }
+            )
+        return {
+            "results": results,
+            "summary": (
+                f"Found {len(results)} results in "
+                f"{category_filter or 'all categories'}"
+            ),
+        }
+
+    def create_query_input(self, query: str):
+        """QueryInput assembly with real embeddings + keyword intent/entities
+        (graph_relevance_integration.py:129-147)."""
+        from hcrag_tpu.core.types import QueryInput
+
+        return QueryInput(
+            text=query,
+            embeddings=np.asarray(self.embedder.encode([query])[0]),
+            entities=extract_entities_from_content(query),
+            intent=infer_query_intent(query),
+        )
+
+    def get_content_statistics(self) -> Dict:
+        return self.index.content_statistics()

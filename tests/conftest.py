@@ -8,13 +8,20 @@ can be checked against single-device ground truth without TPU hardware.
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pre-imports jax via sitecustomize with JAX_PLATFORMS=axon
+# (a tunneled remote TPU), so plain env vars are too late.  The backend is
+# initialized lazily, so overriding the config before the first computation
+# still works — force the 8-device virtual CPU platform here.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

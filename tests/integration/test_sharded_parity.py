@@ -1,0 +1,120 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+What the reference never had (SURVEY §2.3): the sharded path must be
+bit-compatible with single-device brute force — shard-local top-k merged over
+the mesh == global top-k, including deterministic tie-breaking.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from hcrag_tpu.core.dense_index import DenseIndex
+from hcrag_tpu.ingest.adventureworks import build_adventureworks
+from hcrag_tpu.parallel.mesh import ROWS_AXIS, make_row_mesh
+from hcrag_tpu.parallel.sharded_ops import pad_rows, sharded_row_gather, sharded_top_k
+from hcrag_tpu.parallel.sharded_engine import ShardedQueryEngine
+from hcrag_tpu.query.engine import QueryEngine
+
+DATA_DIR = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must expose 8 virtual devices"
+    return make_row_mesh()
+
+
+@pytest.fixture(scope="module")
+def bundle(reference_pickle_path):
+    return build_adventureworks(DATA_DIR, reference_pickle=reference_pickle_path)
+
+
+class TestShardedTopK:
+    def test_matches_global_top_k(self, mesh, rng):
+        n, d, b, k = 4096, 64, 4, 10
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+        v, i = sharded_top_k(mesh, q, jax.device_put(emb), k)
+        scores = q @ emb.T
+        ref_i = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(
+            np.asarray(v), np.take_along_axis(scores, ref_i, 1), atol=1e-5
+        )
+
+    def test_deterministic_tie_breaking_across_shards(self, mesh):
+        # All rows identical -> every score ties; winner must be the lowest
+        # global indices in order, regardless of shard boundaries.
+        n, d, k = 64, 8, 6
+        emb = np.tile(np.eye(1, d, dtype=np.float32), (n, 1))
+        q = np.eye(1, d, dtype=np.float32)
+        v, i = sharded_top_k(mesh, q, jax.device_put(emb), k)
+        assert np.asarray(i)[0].tolist() == [0, 1, 2, 3, 4, 5]
+
+    def test_mask_respected(self, mesh, rng):
+        n, d, k = 256, 16, 5
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = emb[:1]
+        mask = np.zeros(n, dtype=bool)
+        mask[100:200] = True
+        v, i = sharded_top_k(mesh, q, jax.device_put(emb), k, jax.device_put(mask))
+        assert all(100 <= int(x) < 200 for x in np.asarray(i)[0])
+
+
+class TestShardedRowGather:
+    def test_gather_matches_direct(self, mesh, rng):
+        n = 512
+        table = rng.standard_normal((n, 7)).astype(np.float32)
+        idx = np.array([0, 5, 511, 100, 255], dtype=np.int32)
+        out = sharded_row_gather(mesh, jax.device_put(table), jax.device_put(idx))
+        np.testing.assert_allclose(np.asarray(out), table[idx], atol=1e-6)
+
+    def test_negative_index_yields_zero(self, mesh, rng):
+        table = rng.standard_normal((64, 3)).astype(np.float32)
+        idx = np.array([-1, 10], dtype=np.int32)
+        out = np.asarray(
+            sharded_row_gather(mesh, jax.device_put(table), jax.device_put(idx))
+        )
+        assert (out[0] == 0).all()
+        np.testing.assert_allclose(out[1], table[10], atol=1e-6)
+
+
+class TestPadRows:
+    def test_padding(self):
+        arr = np.ones((10, 3))
+        padded, n = pad_rows(arr, 8)
+        assert padded.shape == (16, 3) and n == 10
+        assert (padded[10:] == 0).all()
+
+    def test_no_padding_needed(self):
+        arr = np.ones((16, 3))
+        padded, n = pad_rows(arr, 8)
+        assert padded.shape == (16, 3) and n == 16
+
+
+class TestShardedEngineParity:
+    """The full sharded engine vs the single-device engine on real data."""
+
+    def test_query_batch_identical(self, mesh, bundle, rng):
+        single = QueryEngine(bundle.index, bundle.graph)
+        sharded = ShardedQueryEngine(bundle.index, bundle.graph, mesh=mesh)
+        q = rng.standard_normal((3, 384)).astype(np.float32)
+        r1 = single.query_batch(q, top_k=10)
+        r2 = sharded.query_batch(q, top_k=10)
+        np.testing.assert_array_equal(r1.top_indices, r2.top_indices)
+        np.testing.assert_allclose(r1.top_scores, r2.top_scores, atol=1e-5)
+        np.testing.assert_allclose(r1.relevance, r2.relevance, atol=1e-5)
+        np.testing.assert_array_equal(r1.expanded_nodes, r2.expanded_nodes)
+
+    def test_category_filter_identical(self, mesh, bundle, rng):
+        single = QueryEngine(bundle.index, bundle.graph)
+        sharded = ShardedQueryEngine(bundle.index, bundle.graph, mesh=mesh)
+        q = rng.standard_normal(384).astype(np.float32)
+        r1 = single.query_batch(q, top_k=5, category_filter="pdf_document")
+        r2 = sharded.query_batch(q, top_k=5, category_filter="pdf_document")
+        np.testing.assert_array_equal(r1.top_indices, r2.top_indices)
