@@ -1,0 +1,178 @@
+"""Command-line interface: build, query, bench, agent.
+
+Replaces the reference's script entry points:
+  * `python experiments/knowledge_graph.py`  -> `hcrag build`
+  * `python experiments/main.py --rag-only`  -> `hcrag query --no-viz`
+  * `query_interface.py` interactive REPL    -> `hcrag repl`
+  * `demo_visualization.py`                  -> `hcrag viz`
+  * LangGraph agent main                     -> `hcrag agent`
+
+Usage:
+  python -m hcrag_tpu.cli build --data DIR [--out DIR] [--pickle PKL]
+  python -m hcrag_tpu.cli query "mountain bike" [--artifacts DIR] [--top-k 5]
+  python -m hcrag_tpu.cli repl [--artifacts DIR]
+  python -m hcrag_tpu.cli agent "What mountain bikes do you have?"
+  python -m hcrag_tpu.cli viz "mountain bike" --out viz.html
+  python -m hcrag_tpu.cli stats [--artifacts DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+DEFAULT_DATA = "/root/reference/data"
+DEFAULT_PICKLE = "/root/reference/experiments/knowledge_graph_embeddings.pkl"
+
+
+def _load_engine(args):
+    from hcrag_tpu.core.dense_index import DenseIndex
+    from hcrag_tpu.core.graph import CsrGraph
+    from hcrag_tpu.ingest.adventureworks import build_adventureworks
+    from hcrag_tpu.query.engine import QueryEngine
+
+    artifacts = getattr(args, "artifacts", None)
+    if artifacts and (Path(artifacts) / "dense_index.npz").exists():
+        index = DenseIndex.load(artifacts)
+        graph = (
+            CsrGraph.load(artifacts)
+            if (Path(artifacts) / "graph.npz").exists()
+            else None
+        )
+    else:
+        pickle_path = getattr(args, "pickle", None) or (
+            DEFAULT_PICKLE if Path(DEFAULT_PICKLE).exists() else None
+        )
+        bundle = build_adventureworks(
+            getattr(args, "data", DEFAULT_DATA), reference_pickle=pickle_path
+        )
+        index, graph = bundle.index, bundle.graph
+    return QueryEngine(index, graph)
+
+
+def cmd_build(args):
+    from hcrag_tpu.ingest.adventureworks import build_adventureworks
+
+    bundle = build_adventureworks(args.data, reference_pickle=args.pickle)
+    out = Path(args.out)
+    bundle.index.save(out)
+    bundle.graph.save(out)
+    stats = bundle.graph.statistics()
+    print(f"Index: {bundle.index.n} rows x {bundle.index.dim} dims -> {out}")
+    print(f"Graph nodes: {stats['nodes']}")
+    print(f"Graph relationships: {stats['relationships']}")
+
+
+def cmd_query(args):
+    engine = _load_engine(args)
+    out = engine.process_query(
+        args.query, top_k=args.top_k, similarity_threshold=args.threshold
+    )
+    print(out["summary"])
+    for i, r in enumerate(out["results"], 1):
+        print(f"{i}. [{r['similarity_score']:.3f}] {r['content'][:100]}")
+
+
+def cmd_repl(args):
+    engine = _load_engine(args)
+    print("hcrag interactive query REPL. Commands: ':quit', ':stats',")
+    print("':filter <type>' (database_table/json_table/pdf_document), ':nofilter'")
+    category = None
+    while True:
+        try:
+            line = input("query> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not line:
+            continue
+        if line in (":quit", ":q", "exit"):
+            break
+        if line == ":stats":
+            print(engine.get_content_statistics())
+            continue
+        if line.startswith(":filter "):
+            category = line.split(None, 1)[1]
+            print(f"filtering to {category}")
+            continue
+        if line == ":nofilter":
+            category = None
+            continue
+        if category:
+            out = engine.search_by_category(line, category, top_k=args.top_k)
+        else:
+            out = engine.process_query(line, top_k=args.top_k,
+                                       similarity_threshold=0.0)
+        for i, r in enumerate(out["results"], 1):
+            print(f"{i}. [{r['similarity_score']:.3f}] {r['content'][:100]}")
+
+
+def cmd_agent(args):
+    from hcrag_tpu.pipeline.agent import RetrievalAgent
+
+    engine = _load_engine(args)
+    agent = RetrievalAgent(engine)
+    result = agent.run(args.query)
+    print(f"Decision: {result.decision}")
+    print(f"Nodes used: {len(result.final_relevant_nodes)}")
+    print(f"Revisions: {result.revision_history}")
+    print("-" * 40)
+    print(result.final_answer)
+
+
+def cmd_viz(args):
+    from hcrag_tpu.viz.cytoscape import visualize_query_results
+
+    engine = _load_engine(args)
+    results, path = visualize_query_results(
+        engine, args.query, top_k=args.top_k, similarity_threshold=0.0,
+        output_path=args.out,
+    )
+    print(results["summary"])
+    print(f"visualization: {path}")
+
+
+def cmd_stats(args):
+    engine = _load_engine(args)
+    stats = engine.get_content_statistics()
+    print(f"Total entries: {stats['total_entries']}")
+    print(f"Dimensions: {stats['embedding_dimensions']}")
+    print(f"Content types: {stats['content_types']}")
+    print(f"Tables: {stats['database_tables']}")
+    if engine.graph is not None:
+        print(f"Graph: {engine.graph.statistics()}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hcrag", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build index + graph artifacts")
+    b.add_argument("--data", default=DEFAULT_DATA)
+    b.add_argument("--out", default="artifacts")
+    b.add_argument("--pickle", default=None,
+                   help="reference embeddings pickle for bit-parity")
+    b.set_defaults(fn=cmd_build)
+
+    for name, fn in (
+        ("query", cmd_query), ("repl", cmd_repl),
+        ("agent", cmd_agent), ("viz", cmd_viz), ("stats", cmd_stats),
+    ):
+        s = sub.add_parser(name)
+        if name in ("query", "agent", "viz"):
+            s.add_argument("query")
+        s.add_argument("--artifacts", default=None)
+        s.add_argument("--data", default=DEFAULT_DATA)
+        s.add_argument("--pickle", default=None)
+        s.add_argument("--top-k", type=int, default=5)
+        s.add_argument("--threshold", type=float, default=0.3)
+        if name == "viz":
+            s.add_argument("--out", default=None)
+        s.set_defaults(fn=fn)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

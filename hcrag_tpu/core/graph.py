@@ -92,10 +92,10 @@ class CsrGraph:
         src = np.asarray(src, dtype=np.int64)
         dst = np.asarray(dst, dtype=np.int64)
         etype = np.asarray(etype, dtype=np.int8)
-        directed_counts: Dict[str, int] = {}
-        for et in etype:
-            name = EDGE_TYPES[int(et)]
-            directed_counts[name] = directed_counts.get(name, 0) + 1
+        type_hist = np.bincount(etype.astype(np.int64), minlength=len(EDGE_TYPES))
+        directed_counts: Dict[str, int] = {
+            EDGE_TYPES[i]: int(c) for i, c in enumerate(type_hist) if c > 0
+        }
         if symmetrize:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
             etype = np.concatenate([etype, etype])
@@ -146,29 +146,33 @@ class CsrGraph:
         else:
             keep = np.ones_like(self.edge_type, dtype=bool)
 
-        # Per-node filtered neighbor lists (vectorized split).
-        degrees = np.zeros(g, dtype=np.int32)
-        starts = self.row_ptr[:-1]
-        ends = self.row_ptr[1:]
-        kept_per_node: List[np.ndarray] = []
-        types_per_node: List[np.ndarray] = []
-        for node in range(g):
-            sl = slice(starts[node], ends[node])
-            mask = keep[sl]
-            nbrs = self.col_idx[sl][mask]
-            degrees[node] = nbrs.shape[0]
-            kept_per_node.append(nbrs)
-            types_per_node.append(self.edge_type[sl][mask])
+        # Fully vectorized CSR -> ELL: edges are CSR-sorted by source, so the
+        # kept subset stays source-sorted; each edge's slot within its node
+        # is its kept-rank minus the node's first kept-rank.
+        edge_src = np.repeat(
+            np.arange(g, dtype=np.int64),
+            np.diff(self.row_ptr).astype(np.int64),
+        )
+        kept_src = edge_src[keep]
+        kept_dst = self.col_idx[keep].astype(np.int32)
+        kept_type = self.edge_type[keep]
+        degrees_all = np.bincount(kept_src, minlength=g).astype(np.int32)
+        node_start = np.zeros(g, dtype=np.int64)
+        np.cumsum(degrees_all[:-1], out=node_start[1:])
+        slot = np.arange(kept_src.shape[0], dtype=np.int64) - node_start[kept_src]
 
-        md = int(max_degree) if max_degree is not None else int(degrees.max(initial=0))
+        md = (
+            int(max_degree)
+            if max_degree is not None
+            else int(degrees_all.max(initial=0))
+        )
         md = max(md, 1)
+        sel = slot < md  # keep first-created edges per node (deterministic)
         neighbors = np.full((g, md), -1, dtype=np.int32)
         etypes = np.full((g, md), -1, dtype=np.int8)
-        for node in range(g):
-            k = min(int(degrees[node]), md)
-            neighbors[node, :k] = kept_per_node[node][:k]
-            etypes[node, :k] = types_per_node[node][:k]
-        return EllAdjacency(neighbors=neighbors, etypes=etypes, degrees=degrees)
+        neighbors[kept_src[sel], slot[sel]] = kept_dst[sel]
+        etypes[kept_src[sel], slot[sel]] = kept_type[sel]
+        return EllAdjacency(neighbors=neighbors, etypes=etypes, degrees=degrees_all)
 
     # --- statistics (knowledge_graph.py:423-447) ----------------------------
     def statistics(self) -> Dict:

@@ -446,16 +446,23 @@ def build_adventureworks(
         generation_info = data.get("generation_info", {})
     else:
         texts, metadata = process_corpus(data_dir)
+        generation_info: Dict = {}
         if embed_fn is None:
-            from hcrag_tpu.models.embedder import default_embedder
+            from hcrag_tpu.models.embedder import HashingEmbedder, default_embedder
 
-            embed_fn = default_embedder().encode
+            embedder = default_embedder()
+            if isinstance(embedder, HashingEmbedder):
+                embedder.fit(texts)  # corpus IDF weighting
+                generation_info["embedder_state"] = embedder.state_dict()
+            embed_fn = embedder.encode
         embeddings = np.asarray(embed_fn(texts), dtype=np.float32)
-        generation_info = {
-            "model_name": getattr(embed_fn, "__qualname__", "custom"),
-            "total_entries": len(texts),
-            "embedding_dimension": int(embeddings.shape[1]),
-        }
+        generation_info.update(
+            {
+                "model_name": getattr(embed_fn, "__qualname__", "custom"),
+                "total_entries": len(texts),
+                "embedding_dimension": int(embeddings.shape[1]),
+            }
+        )
 
     graph_ids, node_to_row = link_index_and_graph(metadata, graph)
     graph.node_to_row = node_to_row

@@ -45,16 +45,24 @@ def _stable_hash(token: str) -> int:
 
 
 class HashingEmbedder:
-    """Deterministic feature-hashing sentence embedder.
+    """Deterministic feature-hashing sentence embedder with optional IDF.
 
     Tokens and adjacent bigrams are hashed into `dim` buckets with a +-1 sign
     bit; vectors are L2-normalized.  Shared vocabulary => high cosine,
     disjoint => near zero, matching the ordinal behavior retrieval relies on.
+
+    `fit(corpus)` learns per-bucket document frequencies; encoding then
+    weights each feature by idf = log(1 + N/df), which keeps boilerplate
+    tokens (column names, "Table:", guids) from swamping the discriminative
+    ones — necessary for short queries to clear the reference's 0.60
+    semantic gate against long row texts.
     """
 
     def __init__(self, dim: int = EMBED_DIM, use_bigrams: bool = True):
         self.dim = dim
         self.use_bigrams = use_bigrams
+        self.bucket_df: np.ndarray | None = None  # [dim] document freq
+        self.n_docs: int = 0
 
     def _features(self, text: str) -> List[str]:
         tokens = _TOKEN_RE.findall(text.lower())
@@ -63,18 +71,66 @@ class HashingEmbedder:
             feats.extend(f"{a}_{b}" for a, b in zip(tokens, tokens[1:]))
         return feats
 
+    def fit(self, corpus: Sequence[str]) -> "HashingEmbedder":
+        df = np.zeros(self.dim, dtype=np.int64)
+        for text in corpus:
+            buckets = {
+                _stable_hash(f) % self.dim for f in self._features(text)
+            }
+            for b in buckets:
+                df[b] += 1
+        self.bucket_df = df
+        self.n_docs = len(corpus)
+        return self
+
+    def _idf(self, bucket: int) -> float:
+        if self.bucket_df is None:
+            return 1.0
+        return float(
+            np.log1p(self.n_docs / (1.0 + self.bucket_df[bucket]))
+        )
+
     def encode_one(self, text: str) -> np.ndarray:
         vec = np.zeros(self.dim, dtype=np.float32)
         for feat in self._features(text):
             h = _stable_hash(feat)
             bucket = h % self.dim
             sign = 1.0 if (h >> 32) & 1 else -1.0
-            vec[bucket] += sign
+            vec[bucket] += sign * self._idf(bucket)
         norm = np.linalg.norm(vec)
         return vec / norm if norm > 0 else vec
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         return np.stack([self.encode_one(t) for t in texts], axis=0)
+
+    # --- persistence (rides in DenseIndex.generation_info) ----------------
+    def state_dict(self) -> dict:
+        return {
+            "type": "hashing",
+            "dim": self.dim,
+            "use_bigrams": self.use_bigrams,
+            "n_docs": self.n_docs,
+            "bucket_df": (
+                self.bucket_df.tolist() if self.bucket_df is not None else None
+            ),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "HashingEmbedder":
+        emb = cls(dim=state["dim"], use_bigrams=state.get("use_bigrams", True))
+        if state.get("bucket_df") is not None:
+            emb.bucket_df = np.asarray(state["bucket_df"], dtype=np.int64)
+            emb.n_docs = state.get("n_docs", 0)
+        return emb
+
+
+def embedder_from_index(index) -> "TextEmbedder":
+    """Reconstruct the embedder an index was built with (falls back to an
+    unfitted default when no state was persisted)."""
+    state = index.generation_info.get("embedder_state")
+    if state and state.get("type") == "hashing":
+        return HashingEmbedder.from_state(state)
+    return default_embedder(index.dim)
 
 
 class SentenceTransformerEmbedder:

@@ -31,10 +31,21 @@ def _ordered_unique_mask(candidates: jnp.ndarray, num_nodes: int) -> jnp.ndarray
     """Boolean mask keeping the first occurrence of each valid (>= 0) id.
 
     candidates: [C] int32 with -1 padding.
+
+    Two lowerings: for small C an O(C^2) pairwise comparison (pure VPU work,
+    no giant buffers — candidate lists are seeds*degree sized); for large C a
+    scatter-min first-occurrence pass over a [G+1] buffer.  The crossover
+    keeps per-query scratch well under VMEM scale when this runs vmapped
+    over big query batches.
     """
     c = candidates.shape[0]
     positions = jnp.arange(c, dtype=jnp.int32)
-    # Scatter position indices, keeping the minimum per node id.
+    if c <= 4096 or c * c <= num_nodes:
+        eq_earlier = (candidates[None, :] == candidates[:, None]) & (
+            positions[None, :] < positions[:, None]
+        )
+        seen_before = eq_earlier.any(axis=1)
+        return (candidates >= 0) & ~seen_before
     safe_ids = jnp.where(candidates >= 0, candidates, num_nodes)
     first_pos = jnp.full((num_nodes + 1,), c, dtype=jnp.int32)
     first_pos = first_pos.at[safe_ids].min(positions)

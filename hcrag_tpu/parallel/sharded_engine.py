@@ -80,8 +80,9 @@ class ShardedQueryEngine(QueryEngine):
         )
 
     def _topk_impl(self, q_emb, type_mask, top_k: int):
-        # type_mask arrives sized [n_orig]; pad + combine with validity.
-        pad = self._n_padded - self._n_orig
+        # type_mask arrives sized [n_orig] (host filters) or [n_padded] (the
+        # engine's cached all-true mask); pad if needed, then AND validity.
+        pad = self._n_padded - type_mask.shape[0]
         if pad:
             type_mask = jnp.concatenate(
                 [type_mask, jnp.zeros((pad,), dtype=bool)]

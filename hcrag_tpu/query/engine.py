@@ -88,9 +88,9 @@ class QueryEngine:
         self.index = index
         self.graph = graph
         if embedder is None:
-            from hcrag_tpu.models.embedder import default_embedder
+            from hcrag_tpu.models.embedder import embedder_from_index
 
-            embedder = default_embedder(index.dim)
+            embedder = embedder_from_index(index)
         self.embedder = embedder
 
         put = functools.partial(jax.device_put, device=device)
@@ -260,9 +260,9 @@ class QueryEngine:
     # ------------------------------------------------------------------
     # Batched device-level API
     # ------------------------------------------------------------------
-    def query_batch(
+    def query_batch_device(
         self,
-        query_embs: np.ndarray,
+        query_embs,
         *,
         top_k: int = cfg.DEFAULT_TOP_K,
         intents: Optional[Sequence[QueryIntent]] = None,
@@ -273,47 +273,88 @@ class QueryEngine:
         max_expanded: int = cfg.MAX_CONNECTED_NODES,
         category_filter: Optional[str] = None,
         llm_scores: Optional[np.ndarray] = None,
-    ) -> QueryBatchResult:
-        """Run the fused retrieve->expand->score step on a query batch."""
-        q = np.asarray(query_embs, dtype=np.float32)
-        if q.ndim == 1:
-            q = q[None, :]
-        b = q.shape[0]
-        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    ) -> Tuple:
+        """Async variant: dispatches the fused step and returns DEVICE arrays
+        without blocking — the serving path, letting callers pipeline batches
+        and amortize host<->device latency."""
+        if isinstance(query_embs, jnp.ndarray) and query_embs.ndim == 2:
+            q = query_embs  # already device-resident + normalized by caller
+            b = q.shape[0]
+        else:
+            qh = np.asarray(query_embs, dtype=np.float32)
+            if qh.ndim == 1:
+                qh = qh[None, :]
+            qh = qh / np.maximum(
+                np.linalg.norm(qh, axis=1, keepdims=True), 1e-12
+            )
+            b = qh.shape[0]
+            q = jnp.asarray(qh)
 
         if intents is None:
-            intents = [QueryIntent.PRODUCT_SEARCH] * b
-        intent_ids = np.array([i.index for i in intents], dtype=np.int32)
+            intent_ids = self._zeros_i32(b)
+        else:
+            intent_ids = jnp.asarray(
+                np.array([i.index for i in intents], dtype=np.int32)
+            )
 
         vocab = self.index.vocab
         if entity_lists is None:
-            entity_lists = [[] for _ in range(b)]
-        q_bits = np.zeros((b, vocab.num_words), dtype=np.uint32)
-        q_oov = np.zeros(b, dtype=np.int32)
-        for i, ents in enumerate(entity_lists):
-            q_bits[i], q_oov[i] = vocab.encode(ents)
+            q_bits = self._zeros_bits(b)
+            q_oov = self._zeros_i32(b)
+        else:
+            qb = np.zeros((b, vocab.num_words), dtype=np.uint32)
+            qo = np.zeros(b, dtype=np.int32)
+            for i, ents in enumerate(entity_lists):
+                qb[i], qo[i] = vocab.encode(ents)
+            q_bits, q_oov = jnp.asarray(qb), jnp.asarray(qo)
 
         if category_filter:
-            type_mask = self.index.type_mask(category_filter)
+            type_mask = jnp.asarray(self.index.type_mask(category_filter))
         else:
-            type_mask = np.ones(self.index.n, dtype=bool)
+            type_mask = self._true_mask()
 
         w, reduction = scorer_spec(scorer_type, weights)
         if llm_scores is None:
-            llm_topk = np.zeros((b, top_k), dtype=np.float32)
+            llm_topk = self._zeros_f32(b, top_k)
         else:
-            llm_topk = np.asarray(llm_scores, dtype=np.float32)
+            llm_topk = jnp.asarray(np.asarray(llm_scores, dtype=np.float32))
 
         step = self._step(top_k, expansion_depth, max_expanded, reduction)
-        out = step(
-            jnp.asarray(q),
-            jnp.asarray(q_bits),
-            jnp.asarray(q_oov),
-            jnp.asarray(intent_ids),
-            jnp.asarray(w),
-            jnp.asarray(type_mask),
-            jnp.asarray(llm_topk),
+        return step(
+            q, q_bits, q_oov, intent_ids, jnp.asarray(w), type_mask, llm_topk
         )
+
+    # Cached device-side constant inputs (avoid re-uploading per call).
+    def _true_mask(self):
+        if not hasattr(self, "_d_true_mask"):
+            self._d_true_mask = jnp.ones((self.d_emb.shape[0],), dtype=bool)
+        return self._d_true_mask
+
+    def _zeros_i32(self, b):
+        cache = getattr(self, "_d_zero_i32", {})
+        if b not in cache:
+            cache[b] = jnp.zeros((b,), jnp.int32)
+            self._d_zero_i32 = cache
+        return cache[b]
+
+    def _zeros_f32(self, b, k):
+        cache = getattr(self, "_d_zero_f32", {})
+        if (b, k) not in cache:
+            cache[(b, k)] = jnp.zeros((b, k), jnp.float32)
+            self._d_zero_f32 = cache
+        return cache[(b, k)]
+
+    def _zeros_bits(self, b):
+        cache = getattr(self, "_d_zero_bits", {})
+        w = self.index.vocab.num_words
+        if (b, w) not in cache:
+            cache[(b, w)] = jnp.zeros((b, w), jnp.uint32)
+            self._d_zero_bits = cache
+        return cache[(b, w)]
+
+    def query_batch(self, query_embs, **kwargs) -> QueryBatchResult:
+        """Blocking wrapper over `query_batch_device` returning host arrays."""
+        out = self.query_batch_device(query_embs, **kwargs)
         names = (
             "top_scores", "top_indices", "relevance", "combined",
             "expanded_nodes", "expanded_counts", "expanded_relevance",
