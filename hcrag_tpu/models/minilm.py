@@ -110,12 +110,14 @@ class SimpleTokenizer:
         mask = np.zeros((len(texts), self.max_len), dtype=np.int32)
         for i, text in enumerate(texts):
             words = _WORD_RE.findall(text.lower())[: self.max_len - 2]
+            reserved = min(999, max(self.vocab_size // 4, 103))
+            bucket_range = self.vocab_size - reserved
             row = [101]
             for w in words:
                 h = int.from_bytes(
                     hashlib.blake2b(w.encode(), digest_size=4).digest(), "little"
                 )
-                row.append(999 + h % (self.vocab_size - 1000))
+                row.append(reserved + h % bucket_range)
             row.append(102)
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1

@@ -128,6 +128,16 @@ def node_type_priority_scores(
     return out[0] if single else out
 
 
+def graph_centrality_scores(
+    degrees: jnp.ndarray, *, scale: float = 50.0
+) -> jnp.ndarray:
+    """Degree-centrality metric from the v1 scorer design
+    (`relevance_scorer.py:241-269`, GraphCentralityMetric — dropped from the
+    canonical isRelevant but kept here as an optional fifth metric):
+    min(degree / 50, 1.0)."""
+    return jnp.minimum(degrees.astype(jnp.float32) / scale, 1.0)
+
+
 def combine_metrics(
     metrics: jnp.ndarray,
     weights: jnp.ndarray,

@@ -1,0 +1,153 @@
+"""Pallas TPU kernel: fused cosine-scores + per-tile top-k.
+
+The hot retrieval kernel (BASELINE.json north star).  One `pallas_call`
+fuses, per index tile:
+
+  1. the MXU matmul  scores = q @ E_tile.T   (bf16 inputs, f32 accumulation)
+  2. the row-validity mask (category filter / shard padding)
+  3. an in-VMEM iterative top-k over the tile (k max+mask passes on the VPU)
+
+writing only [num_tiles, B, k] candidates back to HBM — the full [B, N]
+score matrix never materializes, so HBM traffic is E (read once) plus the
+tiny candidate tensor, instead of E + 4*B*N bytes for the unfused
+matmul->top_k pipeline.  A final `lax.top_k` over the `num_tiles * k`
+survivors (XLA, negligible) produces the global result.
+
+Tiling: index rows padded to TILE_N (2048 default; E tile bf16 = 1.5 MB,
+scores f32 B x TILE_N), D must be a multiple of 128 (384 = 3 x 128 for
+MiniLM).  Tie-breaking matches the rest of the framework: lowest global
+index wins (argmax returns the first maximum; tiles are scanned in
+ascending-row order and the final merge is position-stable).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _topk_tile_kernel(q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *, k: int):
+    """One grid step: score a [TILE_N, D] tile against q [B, D] and emit the
+    tile's top-k per query."""
+    tile = pl.program_id(0)
+    tile_n = e_ref.shape[0]
+    b = q_ref.shape[0]
+
+    # MXU: [B, D] x [D, TILE_N] -> [B, TILE_N] with f32 accumulation.
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(mask_ref[:][None, :], scores, NEG_INF)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    base = tile * tile_n
+
+    # k static max+mask selection passes (unrolled; k is small).
+    for j in range(k):
+        best = jnp.max(scores, axis=1)  # [B]
+        # First-occurrence argmax for deterministic lowest-index ties.
+        is_best = scores == best[:, None]
+        first_best = jnp.min(jnp.where(is_best, col_ids, tile_n), axis=1)
+        vals_ref[:, 0, j] = best
+        idxs_ref[:, 0, j] = first_best + base
+        # Mask out the chosen column.
+        scores = jnp.where(col_ids == first_best[:, None], NEG_INF, scores)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "tile_n", "interpret")
+)
+def pallas_cosine_top_k(
+    query_emb: jnp.ndarray,
+    index_emb: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    top_k: int,
+    *,
+    tile_n: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused cosine + top-k over a (normalized) index.
+
+    Args:
+      query_emb: [B, D] L2-normalized queries (f32 or bf16).
+      index_emb: [N, D] L2-normalized rows; N is padded internally to a
+        multiple of `tile_n` (pad rows are masked out).
+      valid_mask: [N] bool row filter.
+      top_k: static k (<= tile_n).
+      interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns (values [B, k] f32, indices [B, k] int32), descending, ties to
+    the lowest index.
+    """
+    b, d = query_emb.shape
+    n = index_emb.shape[0]
+    assert d % 128 == 0, f"embedding dim {d} must be a multiple of 128"
+    k = min(top_k, n)
+
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        index_emb = jnp.pad(index_emb, ((0, n_pad - n), (0, 0)))
+        valid_mask = jnp.pad(valid_mask, (0, n_pad - n))
+    num_tiles = n_pad // tile_n
+
+    kernel = functools.partial(_topk_tile_kernel, k=k)
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1, k), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1, k), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    flops = 2 * b * n_pad * d + 3 * b * n_pad * k
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, num_tiles, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_tiles, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n_pad * d * index_emb.dtype.itemsize
+            + b * d * 4
+            + 2 * b * num_tiles * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(query_emb, index_emb, valid_mask)
+
+    # Final merge over the per-tile candidates (XLA; tiny).
+    vals_flat = vals.reshape(b, num_tiles * k)
+    idxs_flat = idxs.reshape(b, num_tiles * k)
+    out_v, pos = jax.lax.top_k(vals_flat, k)
+    out_i = jnp.take_along_axis(idxs_flat, pos, axis=1)
+    return out_v, out_i
+
+
+def _tile_kernel_out_block_fix():
+    """(documentation stub) The out BlockSpec uses a [B, 1, k] block per grid
+    step; vals_ref/idxs_ref inside the kernel are therefore [B, 1, k] — the
+    kernel indexes [:, j] which numpy-squeezes to the block's middle dim.
+    See tests for the interpret-mode parity check."""

@@ -1,0 +1,265 @@
+"""Tests for secondary components: GraphRelevanceScorer, graph-query DSL,
+improved agent, visualization, reranker, MiniLM encoder, timing."""
+
+import numpy as np
+import pytest
+
+from hcrag_tpu.core.types import ScorerType
+from hcrag_tpu.ingest.adventureworks import build_adventureworks
+from hcrag_tpu.query.engine import QueryEngine
+
+DATA_DIR = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return build_adventureworks(DATA_DIR)  # self-consistent hashing index
+
+
+@pytest.fixture(scope="module")
+def engine(bundle):
+    return QueryEngine(bundle.index, bundle.graph)
+
+
+class TestGraphRelevanceScorer:
+    def test_score_query_against_graph(self, engine):
+        from hcrag_tpu.pipeline.integration import GraphRelevanceScorer
+
+        grs = GraphRelevanceScorer(engine)
+        out = grs.score_query_against_graph(
+            "mountain bike", top_k=5, similarity_threshold=0.0,
+            scorer_types=[ScorerType.COMPOSITE, ScorerType.ROUTER_TWO_ENT_TYPE],
+        )
+        assert out["nodes_found"] > 0
+        assert set(out["results"].keys()) == {
+            "composite", "router_two_ent_type",
+        }
+        for scored in out["results"].values():
+            vals = [s["relevance_score"] for s in scored]
+            assert vals == sorted(vals, reverse=True)
+
+    def test_connected_nodes_have_zero_similarity(self, engine):
+        from hcrag_tpu.pipeline.integration import GraphRelevanceScorer
+
+        grs = GraphRelevanceScorer(engine)
+        nodes, _ = grs.get_graph_nodes_for_query(
+            "mountain bike", top_k=5, similarity_threshold=0.0
+        )
+        connected = [
+            n for n in nodes if n.graph_relations.get("is_connected")
+        ]
+        assert all(
+            n.graph_relations["similarity_score"] == 0.0 for n in connected
+        )
+
+    def test_compare_scorer_performance(self, engine):
+        from hcrag_tpu.pipeline.integration import GraphRelevanceScorer
+
+        grs = GraphRelevanceScorer(engine)
+        out = grs.compare_scorer_performance("mountain bike", top_k=3)
+        assert len(out["scorers"]) == len(ScorerType)
+        for stats in out["scorers"].values():
+            assert 0 <= stats["top_score"] <= 1
+
+
+class TestGraphQueryDSL:
+    def test_offline_generation_and_execution(self, bundle):
+        from hcrag_tpu.query.graph_query import answer_graph_question
+
+        out = answer_graph_question(
+            bundle.graph, "Show me documents about Mountain Bike Manual"
+        )
+        assert out["graph_query"]["label"] == "Document"
+        assert out["match_count"] == 1
+        assert "Mountain Bike Manual" in out["matches"][0]["text"]
+
+    def test_edge_type_follow(self, bundle):
+        from hcrag_tpu.query.graph_query import GraphQuery, execute_graph_query
+
+        q = GraphQuery(label="Product", edge_type="SAME_CATEGORY", limit=3)
+        matches = execute_graph_query(bundle.graph, q)
+        assert len(matches) == 3
+        assert all(
+            nb["relationship"] == "SAME_CATEGORY"
+            for m in matches
+            for nb in m["neighbors"]
+        )
+
+    def test_key_lookup(self, bundle):
+        from hcrag_tpu.query.graph_query import GraphQuery, execute_graph_query
+
+        key = bundle.graph.node_keys[0]
+        q = GraphQuery(label="Product", key=str(key))
+        matches = execute_graph_query(bundle.graph, q)
+        assert len(matches) == 1 and matches[0]["node_id"] == 0
+
+
+class TestImprovedAgent:
+    def test_checkpointing_and_memory(self, engine):
+        from hcrag_tpu.pipeline.improved_agent import (
+            ImprovedRetrievalAgent,
+            MemorySaver,
+        )
+
+        saver = MemorySaver()
+        agent = ImprovedRetrievalAgent(engine, checkpointer=saver)
+        r = agent.run("mountain bike question", thread_id="t-1", user_id="u-1")
+        assert r.thread_id == "t-1"
+        cps = saver.get("t-1")
+        assert len(cps) >= 6  # every node journaled
+        assert cps[0]["node"] == "analyze_query"
+        assert agent.load_user_preferences("u-1")["interactions"] == 1
+
+    def test_confidence_and_review_hook(self, engine):
+        from hcrag_tpu.pipeline.improved_agent import ImprovedRetrievalAgent
+
+        reviewed = {}
+
+        def handler(payload):
+            reviewed.update(payload)
+            return False  # reject
+
+        agent = ImprovedRetrievalAgent(engine, review_handler=handler)
+        r = agent.run("zzzz absurd nonexistent query")
+        if r.needs_human_review:
+            assert "flagged for review" in r.final_answer
+            assert reviewed["confidence"] == r.confidence
+
+    def test_streaming_callback(self, engine):
+        from hcrag_tpu.pipeline.improved_agent import ImprovedRetrievalAgent
+
+        chunks = []
+        agent = ImprovedRetrievalAgent(
+            engine, stream_callback=chunks.append
+        )
+        r = agent.run("mountain bike")
+        assert "".join(chunks).strip() == r.final_answer
+
+    def test_history_compression(self):
+        from hcrag_tpu.pipeline.improved_agent import compress_history
+
+        short = ["a"] * 5
+        assert compress_history(short) == short
+        long = [f"msg {i}" for i in range(20)]
+        out = compress_history(long)
+        assert len(out) == 5 and out[0].startswith("[Compressed history")
+
+    def test_checkpoint_persistence(self, engine, tmp_path):
+        from hcrag_tpu.pipeline.improved_agent import (
+            ImprovedRetrievalAgent,
+            MemorySaver,
+        )
+
+        saver = MemorySaver(persist_dir=str(tmp_path))
+        agent = ImprovedRetrievalAgent(engine, checkpointer=saver)
+        agent.run("q", thread_id="persisted")
+        fresh = MemorySaver(persist_dir=str(tmp_path))
+        assert len(fresh.get("persisted")) >= 6
+
+
+class TestVisualization:
+    def test_html_generation(self, engine, tmp_path):
+        from hcrag_tpu.viz.cytoscape import visualize_query_results
+
+        out = tmp_path / "viz.html"
+        results, path = visualize_query_results(
+            engine, "mountain bike", top_k=5, similarity_threshold=0.0,
+            output_path=str(out),
+        )
+        assert path == str(out)
+        html = out.read_text()
+        assert "cytoscape" in html and "elements" in html
+        assert results["results"]
+
+    def test_subgraph_extraction_marks_connected(self, engine):
+        from hcrag_tpu.viz.cytoscape import extract_subgraph_from_results
+
+        qr = engine.process_query("mountain bike", top_k=5,
+                                  similarity_threshold=0.0)
+        sub = extract_subgraph_from_results(engine, qr, expand_subgraph=True)
+        assert sub["nodes"]
+        direct = [n for n in sub["nodes"] if not n["data"]["is_connected"]]
+        assert all(
+            n["data"]["similarity_score"] >= 0 for n in direct
+        )
+        for n in sub["nodes"]:
+            if n["data"]["is_connected"]:
+                assert n["data"]["similarity_score"] == 0.0
+
+
+class TestReranker:
+    def test_distillation_reduces_loss(self):
+        from hcrag_tpu.models.reranker import Reranker
+
+        rng = np.random.default_rng(0)
+        feats = rng.uniform(0, 1, (64, 8, 5)).astype(np.float32)
+        labels = feats[..., 4]  # teacher = raw cosine feature
+        rr = Reranker(hidden=16, learning_rate=5e-3)
+        losses = rr.fit_distill(feats, labels, epochs=8, batch_size=16)
+        assert losses[-1] < losses[0]
+
+    def test_score_shape(self):
+        from hcrag_tpu.models.reranker import Reranker
+
+        rr = Reranker(hidden=8)
+        out = rr.score(np.zeros((3, 7, 5), np.float32))
+        assert out.shape == (3, 7)
+
+
+class TestMiniLMEncoder:
+    def test_encode_shape_and_norm(self):
+        from hcrag_tpu.models.minilm import FlaxMiniLMEmbedder, MiniLMConfig
+
+        cfg = MiniLMConfig(num_layers=2, vocab_size=1000, hidden_size=128,
+                           num_heads=4, intermediate_size=256)
+        emb = FlaxMiniLMEmbedder(cfg, max_len=16)
+        out = emb.encode(["hello world", "mountain bike manual"])
+        assert out.shape == (2, 128)
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=1), 1.0, atol=1e-5
+        )
+
+    def test_deterministic(self):
+        from hcrag_tpu.models.minilm import FlaxMiniLMEmbedder, MiniLMConfig
+
+        cfg = MiniLMConfig(num_layers=1, vocab_size=500, hidden_size=128,
+                           num_heads=4, intermediate_size=128)
+        e1 = FlaxMiniLMEmbedder(cfg, seed=1, max_len=8).encode(["abc"])
+        e2 = FlaxMiniLMEmbedder(cfg, seed=1, max_len=8).encode(["abc"])
+        np.testing.assert_array_equal(e1, e2)
+
+    def test_param_save_load(self, tmp_path):
+        from hcrag_tpu.models.minilm import FlaxMiniLMEmbedder, MiniLMConfig
+
+        cfg = MiniLMConfig(num_layers=1, vocab_size=500, hidden_size=128,
+                           num_heads=4, intermediate_size=128)
+        a = FlaxMiniLMEmbedder(cfg, seed=1, max_len=8)
+        path = str(tmp_path / "params.npz")
+        a.save_params(path)
+        b = FlaxMiniLMEmbedder(cfg, seed=2, max_len=8)
+        b.load_params(path)
+        np.testing.assert_allclose(
+            a.encode(["same text"]), b.encode(["same text"]), atol=1e-6
+        )
+
+
+class TestTiming:
+    def test_stage_timer(self):
+        from hcrag_tpu.utils.timing import StageTimer
+
+        t = StageTimer()
+        with t.span("outer"):
+            with t.span("inner"):
+                pass
+        assert "outer" in t.totals and "outer/inner" in t.totals
+        assert "outer" in t.report()
+
+    def test_graph_centrality_metric(self):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.scoring import graph_centrality_scores
+
+        out = np.asarray(
+            graph_centrality_scores(jnp.asarray([0, 25, 50, 500]))
+        )
+        np.testing.assert_allclose(out, [0.0, 0.5, 1.0, 1.0], atol=1e-6)

@@ -1,0 +1,98 @@
+"""Pallas fused cosine+top-k kernel — interpreter-mode parity tests.
+
+On CPU the kernel runs under `interpret=True` (the Pallas test path); the
+TPU-compiled path is exercised by bench.py and the graft entry on hardware.
+"""
+
+import numpy as np
+import pytest
+
+from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k
+
+
+def _setup(n, d, b, seed=0):
+    rng = np.random.default_rng(seed)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q, e
+
+
+class TestPallasTopK:
+    def test_matches_brute_force(self):
+        import jax.numpy as jnp
+
+        q, e = _setup(4096, 384, 4)
+        mask = np.ones(4096, bool)
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10,
+            tile_n=1024, interpret=True,
+        )
+        scores = q @ e.T
+        ref_i = np.argsort(-scores, axis=1, kind="stable")[:, :10]
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+        np.testing.assert_allclose(
+            np.asarray(v), np.take_along_axis(scores, ref_i, 1), atol=1e-5
+        )
+
+    def test_ragged_n_padding(self):
+        import jax.numpy as jnp
+
+        # N not a multiple of tile_n: pad rows must never be returned.
+        q, e = _setup(1500, 128, 2, seed=1)
+        mask = np.ones(1500, bool)
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 7,
+            tile_n=1024, interpret=True,
+        )
+        assert (np.asarray(i) < 1500).all()
+        scores = q @ e.T
+        ref_i = np.argsort(-scores, axis=1, kind="stable")[:, :7]
+        np.testing.assert_array_equal(np.asarray(i), ref_i)
+
+    def test_mask_filtering(self):
+        import jax.numpy as jnp
+
+        q, e = _setup(2048, 128, 2, seed=2)
+        mask = np.zeros(2048, bool)
+        mask[500:600] = True
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 5,
+            tile_n=1024, interpret=True,
+        )
+        assert ((np.asarray(i) >= 500) & (np.asarray(i) < 600)).all()
+
+    def test_tie_breaking_lowest_index(self):
+        import jax.numpy as jnp
+
+        d = 128
+        e = np.tile(np.eye(1, d, dtype=np.float32), (3000, 1))
+        q = np.eye(1, d, dtype=np.float32)
+        mask = np.ones(3000, bool)
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 6,
+            tile_n=1024, interpret=True,
+        )
+        assert np.asarray(i)[0].tolist() == [0, 1, 2, 3, 4, 5]
+
+    def test_bf16_index(self):
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        q, e = _setup(2048, 128, 2, seed=3)
+        mask = np.ones(2048, bool)
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q),
+            jnp.asarray(e.astype(ml_dtypes.bfloat16)),
+            jnp.asarray(mask),
+            10,
+            tile_n=1024,
+            interpret=True,
+        )
+        scores = q @ e.T
+        ref_i = np.argsort(-scores, axis=1, kind="stable")[:, :10]
+        # bf16 rounding can swap near-ties; require >=9/10 overlap per query
+        for row in range(2):
+            overlap = len(set(np.asarray(i)[row]) & set(ref_i[row]))
+            assert overlap >= 9
