@@ -52,9 +52,13 @@ def main():
     build_time = time.time() - t0
     log(f"index built in {build_time:.1f}s")
 
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     t0 = time.time()
-    engine = QueryEngine(index, graph, ell_max_degree=8)
-    log(f"engine init (device transfer) in {time.time() - t0:.1f}s")
+    engine = QueryEngine(index, graph, ell_max_degree=8, use_pallas=use_pallas)
+    log(
+        f"engine init (device transfer) in {time.time() - t0:.1f}s "
+        f"(pallas={use_pallas})"
+    )
 
     rng = np.random.default_rng(7)
     queries = rng.standard_normal((batch, dim)).astype(np.float32)

@@ -36,12 +36,18 @@ class TextEmbedder(Protocol):
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_FNV_MASK = (1 << 64) - 1
+
 
 def _stable_hash(token: str) -> int:
-    """Stable 64-bit hash (process-seed independent, unlike Python's hash)."""
-    return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "little"
-    )
+    """Stable 64-bit FNV-1a hash — process-seed independent and byte-for-byte
+    reproducible by the native C++ tokenizer (`native/fasthash.cpp`)."""
+    h = _FNV_OFFSET
+    for byte in token.encode("utf-8"):
+        h = ((h ^ byte) * _FNV_PRIME) & _FNV_MASK
+    return h
 
 
 class HashingEmbedder:
@@ -72,13 +78,17 @@ class HashingEmbedder:
         return feats
 
     def fit(self, corpus: Sequence[str]) -> "HashingEmbedder":
-        df = np.zeros(self.dim, dtype=np.int64)
-        for text in corpus:
-            buckets = {
-                _stable_hash(f) % self.dim for f in self._features(text)
-            }
-            for b in buckets:
-                df[b] += 1
+        from hcrag_tpu import native
+
+        df = native.bucket_df(corpus, self.dim, use_bigrams=self.use_bigrams)
+        if df is None:  # pure-Python fallback
+            df = np.zeros(self.dim, dtype=np.int64)
+            for text in corpus:
+                buckets = {
+                    _stable_hash(f) % self.dim for f in self._features(text)
+                }
+                for b in buckets:
+                    df[b] += 1
         self.bucket_df = df
         self.n_docs = len(corpus)
         return self
@@ -100,7 +110,20 @@ class HashingEmbedder:
         norm = np.linalg.norm(vec)
         return vec / norm if norm > 0 else vec
 
+    def _idf_weights(self) -> Optional[np.ndarray]:
+        if self.bucket_df is None:
+            return None
+        return np.log1p(self.n_docs / (1.0 + self.bucket_df.astype(np.float64)))
+
     def encode(self, texts: Sequence[str]) -> np.ndarray:
+        from hcrag_tpu import native
+
+        out = native.embed_batch(
+            texts, self.dim, use_bigrams=self.use_bigrams,
+            idf=self._idf_weights(),
+        )
+        if out is not None:
+            return out
         return np.stack([self.encode_one(t) for t in texts], axis=0)
 
     # --- persistence (rides in DenseIndex.generation_info) ----------------

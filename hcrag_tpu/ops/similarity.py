@@ -141,3 +141,56 @@ def masked_top_k(
     """
     neg = jnp.full_like(scores, -jnp.inf)
     return chunked_top_k(jnp.where(valid_mask[None, :], scores, neg), k)
+
+
+def streaming_masked_top_k(
+    query_emb: jnp.ndarray,
+    index_emb: jnp.ndarray,
+    valid_mask: jnp.ndarray,
+    k: int,
+    chunk_rows: int = 1 << 17,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cosine + top-k streamed over row chunks — the large-N path.
+
+    Materializing the full [B, N] score matrix costs 4*B*N bytes of HBM (4 GB
+    at B=1024, N=1M) and inflates XLA's memory planning; instead the index is
+    scanned in `chunk_rows` blocks with `lax.map`: each step is one MXU
+    matmul [B, chunk] + a local top-k, keeping live memory at B*chunk and
+    compile size constant in N.  Per-chunk candidates are merged by one final
+    top-k.  Tie-breaking remains lowest-global-index (chunks scan ascending,
+    the merge is position-stable).
+
+    Args:
+      query_emb: [B, D] normalized queries.
+      index_emb: [N, D] normalized rows.
+      valid_mask: [N] bool.
+      k: static k.
+      chunk_rows: rows per scanned block (padded up as needed).
+    """
+    b, d = query_emb.shape
+    n = index_emb.shape[0]
+    k = min(k, n)
+    n_pad = _round_up(n, chunk_rows)
+    if n_pad != n:
+        index_emb = jnp.pad(index_emb, ((0, n_pad - n), (0, 0)))
+        valid_mask = jnp.pad(valid_mask, (0, n_pad - n))
+    c = n_pad // chunk_rows
+    emb_chunks = index_emb.reshape(c, chunk_rows, d)
+    mask_chunks = valid_mask.reshape(c, chunk_rows)
+    bases = (jnp.arange(c, dtype=jnp.int32) * chunk_rows)[:, None]
+    q = query_emb.astype(index_emb.dtype)
+
+    def body(args):
+        emb_c, mask_c, base = args
+        scores = jnp.dot(q, emb_c.T, preferred_element_type=jnp.float32)
+        scores = jnp.where(mask_c[None, :], scores, -jnp.inf)
+        v, i = jax.lax.top_k(scores, k)
+        return v, i.astype(jnp.int32) + base
+
+    vals, idxs = jax.lax.map(body, (emb_chunks, mask_chunks, bases))
+    # [C, B, k] -> [B, C*k], chunk-major so ties resolve to lower chunk.
+    vals = jnp.moveaxis(vals, 0, 1).reshape(b, c * k)
+    idxs = jnp.moveaxis(idxs, 0, 1).reshape(b, c * k)
+    out_v, pos = jax.lax.top_k(vals, k)
+    out_i = jnp.take_along_axis(idxs, pos, axis=1)
+    return out_v, out_i

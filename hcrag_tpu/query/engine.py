@@ -50,7 +50,11 @@ from hcrag_tpu.ingest.entities import (
 )
 from hcrag_tpu.ops.expand import expand_k_hop
 from hcrag_tpu.ops.scoring import entity_match_scores, popcount_words
-from hcrag_tpu.ops.similarity import chunked_top_k, masked_top_k
+from hcrag_tpu.ops.similarity import (
+    chunked_top_k,
+    masked_top_k,
+    streaming_masked_top_k,
+)
 
 _GRAPH_LABEL_TO_TYPE = {
     "Product": "product",
@@ -84,9 +88,13 @@ class QueryEngine:
         embedder=None,
         ell_max_degree: Optional[int] = None,
         device=None,
+        use_pallas: bool = False,
+        pallas_tile_n: int = 2048,
     ):
         self.index = index
         self.graph = graph
+        self.use_pallas = use_pallas
+        self.pallas_tile_n = pallas_tile_n
         if embedder is None:
             from hcrag_tpu.models.embedder import embedder_from_index
 
@@ -94,8 +102,15 @@ class QueryEngine:
         self.embedder = embedder
 
         put = functools.partial(jax.device_put, device=device)
-        # Device-resident index bank.
-        self.d_emb = put(jnp.asarray(index.emb))
+        # Device-resident index bank.  With the Pallas top-k the row axis is
+        # pre-padded to the tile size once (padded rows masked out of every
+        # top-k) so the kernel never pads per call.
+        emb_host = np.asarray(index.emb)
+        self._n_rows = emb_host.shape[0]
+        if use_pallas and emb_host.shape[0] % pallas_tile_n:
+            pad = pallas_tile_n - emb_host.shape[0] % pallas_tile_n
+            emb_host = np.pad(emb_host, ((0, pad), (0, 0)))
+        self.d_emb = put(jnp.asarray(emb_host))
         self.d_type_ids = put(jnp.asarray(index.type_ids))
         self.d_bits = put(jnp.asarray(index.entity_bits))
         self.d_counts = put(jnp.asarray(index.entity_counts))
@@ -139,7 +154,29 @@ class QueryEngine:
 
     def _topk_impl(self, q_emb, type_mask, top_k: int):
         """Dense cosine + masked top-k (single-device path).  The sharded
-        engine overrides this with a shard_map'd local-topk + ICI merge."""
+        engine overrides this with a shard_map'd local-topk + ICI merge.
+
+        With `use_pallas=True` the Pallas fused kernel streams index tiles
+        through VMEM and never materializes the [B, N] score matrix."""
+        if self.use_pallas:
+            from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k
+
+            pad = self.d_emb.shape[0] - type_mask.shape[0]
+            if pad:
+                type_mask = jnp.concatenate(
+                    [type_mask, jnp.zeros((pad,), dtype=bool)]
+                )
+            return pallas_cosine_top_k(
+                q_emb, self.d_emb, type_mask, top_k,
+                tile_n=self.pallas_tile_n,
+            )
+        n = self.d_emb.shape[0]
+        if n > (1 << 18):
+            # Large index: stream row chunks (constant compile size, no
+            # [B, N] score buffer).
+            return streaming_masked_top_k(
+                q_emb, self.d_emb, type_mask, top_k
+            )
         scores = jnp.dot(
             q_emb.astype(self.d_emb.dtype),
             self.d_emb.T,
