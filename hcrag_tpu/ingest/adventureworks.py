@@ -327,6 +327,38 @@ def process_corpus(
             t, m = process_pdf_document(pdf_file, pdf_file.stem)
             texts.extend(t)
             metadata.extend(m)
+
+    # Plain-text documents (.txt/.md), chunked like PDFs — generalizes the
+    # corpus beyond the reference's three formats (its LlamaIndex stack
+    # ingested arbitrary text via SimpleDirectoryReader,
+    # graph_builder.py:163-201).
+    from hcrag_tpu.ingest.pdf_ingest import chunk_text
+
+    for pattern in ("*.txt", "*.md"):
+        candidates = sorted(data_path.glob(pattern))
+        if json_dir.exists():
+            candidates += sorted(json_dir.glob(pattern))
+        for text_file in candidates:
+            try:
+                raw = text_file.read_text(encoding="utf-8", errors="replace")
+            except OSError:
+                continue
+            if not raw.strip():
+                continue
+            doc_name = text_file.stem
+            chunks = chunk_text(raw, max_chunk_size=800, overlap=100)
+            for chunk_idx, chunk in enumerate(chunks):
+                texts.append(f"Document: {doc_name}. {chunk}")
+                metadata.append(
+                    {
+                        "id": f"text_{doc_name}_chunk_{chunk_idx}",
+                        "type": "text_document",
+                        "document_name": doc_name,
+                        "source_file": str(text_file),
+                        "chunk_index": chunk_idx,
+                        "total_chunks": len(chunks),
+                    }
+                )
     return texts, metadata
 
 

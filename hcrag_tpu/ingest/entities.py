@@ -105,7 +105,7 @@ def metadata_node_type(metadata: dict) -> str:
         if table in ("productcategory", "category"):
             return "category"
         return "specification"
-    if t == "pdf_document":
+    if t in ("pdf_document", "text_document"):
         return "document"
     if t == "json_table":
         return "specification"

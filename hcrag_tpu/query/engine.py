@@ -505,3 +505,83 @@ class QueryEngine:
 
     def get_content_statistics(self) -> Dict:
         return self.index.content_statistics()
+
+    # ------------------------------------------------------------------
+    # Graph-enriched lookups (knowledge_graph.py:449-512)
+    # ------------------------------------------------------------------
+    def query_similar_products(self, product_id, limit: int = 5) -> List[Dict]:
+        """1-hop related products for a product id, ordered by price
+        (knowledge_graph.py:449-462)."""
+        if self.graph is None:
+            return []
+        from hcrag_tpu.core.types import EDGE_TYPES
+
+        g = self.graph
+        try:
+            node = next(
+                i
+                for i, (lbl, key) in enumerate(zip(g.node_labels, g.node_keys))
+                if lbl == "Product" and str(key) == str(product_id)
+            )
+        except StopIteration:
+            return []
+        nbrs, types = g.neighbors_of(node)
+        out = []
+        for nb, t in zip(nbrs, types):
+            if g.node_labels[int(nb)] != "Product":
+                continue
+            text = g.node_texts[int(nb)]
+            price = 0.0
+            if "Price: $" in text:
+                try:
+                    price = float(text.split("Price: $")[1].split(" |")[0])
+                except ValueError:
+                    pass
+            out.append(
+                {
+                    "product_name": text.split(" |")[0],
+                    "product_id": g.node_keys[int(nb)],
+                    "relationship_type": EDGE_TYPES[int(t)],
+                    "price": price,
+                }
+            )
+        out.sort(key=lambda r: r["price"])
+        return out[:limit]
+
+    def hybrid_search(self, search_term: str, limit: int = 5) -> List[Dict]:
+        """Dense search + per-hit graph enrichment with SAME_CATEGORY
+        neighbors (hybrid_search_example, knowledge_graph.py:464-512)."""
+        from hcrag_tpu.core.types import edge_type_id
+
+        q_emb = np.asarray(self.embedder.encode([search_term])[0])
+        res = self.query_batch(q_emb, top_k=limit * 2)
+        items: List[Dict] = []
+        et_same_cat = edge_type_id("SAME_CATEGORY")
+        for score, row in zip(res.top_scores[0], res.top_indices[0]):
+            meta = self.index.metadata[int(row)]
+            if not (
+                meta.get("type") == "database_table"
+                and meta.get("table_name") == "Product"
+            ):
+                continue
+            related: List[str] = []
+            if self.graph is not None:
+                gid = int(self.index.graph_ids[int(row)])
+                if gid >= 0:
+                    nbrs, types = self.graph.neighbors_of(gid)
+                    for nb, t in zip(nbrs, types):
+                        if int(t) == et_same_cat and len(related) < 3:
+                            related.append(
+                                self.graph.node_texts[int(nb)].split(" |")[0]
+                            )
+            items.append(
+                {
+                    "name": meta.get("entity_id"),
+                    "similarity_score": float(score),
+                    "related_products": related,
+                    "embedding_text": self.index.texts[int(row)][:100] + "...",
+                }
+            )
+            if len(items) >= limit:
+                break
+        return items

@@ -1,0 +1,132 @@
+"""Tests for the serving executor, fixtures, hybrid search and text ingestion."""
+
+import numpy as np
+import pytest
+
+from hcrag_tpu.ingest.adventureworks import build_adventureworks
+from hcrag_tpu.query.engine import QueryEngine
+
+DATA_DIR = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def engine():
+    b = build_adventureworks(DATA_DIR)
+    return QueryEngine(b.index, b.graph)
+
+
+class TestBatchedExecutor:
+    def test_serves_all_requests(self, engine):
+        from hcrag_tpu.query.executor import BatchedExecutor
+
+        ex = BatchedExecutor(engine, batch_size=8, top_k=5, max_wait_ms=5)
+        futs = [
+            ex.submit(np.asarray(engine.index.emb[i], np.float32))
+            for i in range(20)
+        ]
+        results = [f.result(timeout=120) for f in futs]
+        ex.shutdown()
+        assert len(results) == 20
+        # each query is an index row: rank-0 hit must be itself
+        for i, (scores, indices) in enumerate(results):
+            assert indices[0] == i
+            assert scores[0] == pytest.approx(1.0, abs=1e-4)
+        assert ex.batches_dispatched >= 3  # 20 reqs / batch 8
+
+    def test_shutdown_idempotent(self, engine):
+        from hcrag_tpu.query.executor import BatchedExecutor
+
+        ex = BatchedExecutor(engine, batch_size=4)
+        ex.shutdown()
+        ex.shutdown()
+
+
+class TestSampleFixtures:
+    def test_eighteen_typed_nodes(self):
+        from hcrag_tpu.testing import create_sample_nodes
+
+        nodes = create_sample_nodes()
+        assert len(nodes) == 18
+        types = {n.node_type for n in nodes}
+        assert {"product", "document", "specification", "category"} <= types
+        # deterministic embeddings
+        again = create_sample_nodes()
+        np.testing.assert_array_equal(nodes[0].embeddings, again[0].embeddings)
+
+    def test_fixture_scoring_orders_relevance(self):
+        from hcrag_tpu.core.types import ScorerType
+        from hcrag_tpu.pipeline.isrelevant import batch_isRelevant
+        from hcrag_tpu.testing import create_sample_nodes, create_sample_query
+
+        query = create_sample_query()
+        nodes = create_sample_nodes()
+        scores = batch_isRelevant(query, nodes, ScorerType.COMPOSITE)
+        ranked = [n.text for _, n in sorted(zip(scores, nodes), key=lambda x: -x[0])]
+        # the red mountain bike product must beat the garden hose
+        red_bike = next(i for i, t in enumerate(ranked) if "Trail Blazer" in t)
+        hose = next(i for i, t in enumerate(ranked) if "Garden Hose" in t)
+        assert red_bike < hose
+
+
+class TestHybridAndSimilar:
+    def test_hybrid_search_returns_products_with_relations(self, engine):
+        items = engine.hybrid_search("mountain bike", limit=3)
+        assert 0 < len(items) <= 3
+        for item in items:
+            assert "similarity_score" in item
+            assert isinstance(item["related_products"], list)
+
+    def test_query_similar_products_sorted_by_price(self, engine):
+        pid = engine.graph.node_keys[0]
+        out = engine.query_similar_products(pid, limit=5)
+        assert len(out) <= 5
+        prices = [r["price"] for r in out]
+        assert prices == sorted(prices)
+        assert all(
+            r["relationship_type"] in (
+                "SAME_CATEGORY", "SAME_MODEL", "SIMILAR_PRICE",
+                "COMPATIBLE_PRODUCT", "COMPLEMENTARY_PRODUCT", "DESCRIBED_BY",
+            )
+            for r in out
+        )
+
+    def test_query_similar_unknown_id(self, engine):
+        assert engine.query_similar_products(999999) == []
+
+
+class TestTextIngestion:
+    def test_txt_files_chunked(self, tmp_path):
+        from hcrag_tpu.ingest.adventureworks import process_corpus
+
+        (tmp_path / "notes.txt").write_text("A sentence. " * 200)
+        (tmp_path / "README.md").write_text("# Title\nSome content here.")
+        texts, metadata = process_corpus(tmp_path)
+        text_docs = [m for m in metadata if m["type"] == "text_document"]
+        assert len(text_docs) >= 3  # notes chunks + readme
+        names = {m["document_name"] for m in text_docs}
+        assert names == {"notes", "README"}
+        from hcrag_tpu.ingest.entities import metadata_node_type
+
+        assert metadata_node_type(text_docs[0]) == "document"
+
+    def test_native_embedder_available(self):
+        # The C++ fasthash library must build in this environment.
+        from hcrag_tpu import native
+
+        assert native.available()
+        out = native.embed_batch(["hello world"], 64)
+        assert out.shape == (1, 64)
+        np.testing.assert_allclose(np.linalg.norm(out[0]), 1.0, atol=1e-5)
+
+    def test_native_python_parity(self):
+        from hcrag_tpu import native
+        from hcrag_tpu.models.embedder import HashingEmbedder
+
+        if not native.available():
+            pytest.skip("no native toolchain")
+        texts = ["Red Mountain Bike 42", "completely different text!"]
+        emb = HashingEmbedder(dim=128)
+        emb.fit(texts)
+        native_out = emb.encode(texts)
+        py_out = np.stack([emb.encode_one(t) for t in texts])
+        np.testing.assert_allclose(native_out, py_out, atol=1e-6)
