@@ -1,0 +1,183 @@
+"""Consolidated TPU benchmark session.
+
+Runs every benchmark configuration in ONE process (device handshakes and
+transfers are expensive through the tunnel), writing incremental results to
+stderr and a JSON summary at the end.
+
+Configs (BASELINE.json):
+  A. AdventureWorks parity: real 585-vector index, exact recall vs reference
+  B. 100k synthetic, XLA top-k path
+  C. 1M synthetic, streaming top-k path (the headline config)
+  D. 1M synthetic, Pallas fused kernel path
+  E. index build time (native ingestion path)
+
+Usage: python benchmarks/session.py [--skip a,b,...] [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(label):
+    class _T:
+        def __enter__(self):
+            self.t0 = time.time()
+            return self
+
+        def __exit__(self, *exc):
+            self.dt = time.time() - self.t0
+            log(f"[{label}] {self.dt:.2f}s")
+
+    return _T()
+
+
+def throughput(engine, queries, *, top_k=10, depth=1, steps=20, label=""):
+    import jax
+    import jax.numpy as jnp
+
+    dq = jnp.asarray(queries)
+    with timed(f"{label} warmup(compile)"):
+        warm = engine.query_batch_device(dq, top_k=top_k, expansion_depth=depth)
+        jax.block_until_ready(warm)
+    t0 = time.time()
+    outs = [
+        engine.query_batch_device(dq, top_k=top_k, expansion_depth=depth)
+        for _ in range(steps)
+    ]
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    qps = steps * queries.shape[0] / dt
+    log(f"[{label}] {1000 * dt / steps:.1f} ms/batch -> {qps:.0f} QPS")
+    return qps
+
+
+def recall_gate(engine, emb_f32, queries, top_k=10, n_check=8, depth=1):
+    ref = np.argsort(-(queries[:n_check] @ emb_f32.T), axis=1, kind="stable")[
+        :, :top_k
+    ]
+    res = engine.query_batch(queries, top_k=top_k, expansion_depth=depth)
+    hits = sum(
+        len(set(res.top_indices[i]) & set(ref[i])) for i in range(n_check)
+    )
+    return hits / (n_check * top_k)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--skip", default="")
+    parser.add_argument("--out", default="benchmarks/results.json")
+    parser.add_argument("--batch", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=20)
+    args = parser.parse_args()
+    skip = set(args.skip.split(",")) if args.skip else set()
+
+    import jax
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    results = {}
+    rng = np.random.default_rng(7)
+
+    from hcrag_tpu.query.engine import QueryEngine
+
+    # --- A: AdventureWorks parity ------------------------------------------
+    if "a" not in skip and os.path.exists(
+        "/root/reference/experiments/knowledge_graph_embeddings.pkl"
+    ):
+        from hcrag_tpu.ingest.adventureworks import build_adventureworks
+
+        with timed("A build"):
+            bundle = build_adventureworks(
+                "/root/reference/data",
+                reference_pickle=(
+                    "/root/reference/experiments/knowledge_graph_embeddings.pkl"
+                ),
+            )
+        engine = QueryEngine(bundle.index, bundle.graph)
+        emb = np.asarray(bundle.index.emb, np.float32)
+        q = emb[rng.integers(0, 585, 64)]
+        recall = recall_gate(engine, emb, q, n_check=64)
+        qps = throughput(engine, q, steps=args.steps, label="A adventureworks")
+        results["adventureworks"] = {"recall_at_10": recall, "qps": qps}
+
+    # --- synthetic setups ----------------------------------------------------
+    from __graft_entry__ import _synthetic_setup
+    import ml_dtypes
+
+    queries = rng.standard_normal((args.batch, 384)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    for key, n in (("b", 100_000), ("c", 1_000_000)):
+        if key in skip:
+            continue
+        with timed(f"{key} gen n={n}"):
+            index, graph = _synthetic_setup(n, 384, graph_degree=4)
+            emb_f32 = np.asarray(index.emb, np.float32)
+            index.emb = emb_f32.astype(ml_dtypes.bfloat16)
+        with timed(f"{key} engine init"):
+            engine = QueryEngine(index, graph, ell_max_degree=8)
+        recall = recall_gate(engine, emb_f32, queries)
+        log(f"[{key}] recall@10 = {recall:.4f}")
+        qps = throughput(
+            engine, queries, steps=args.steps, label=f"{key} n={n}"
+        )
+        results[f"synthetic_{n}"] = {"recall_at_10": recall, "qps": qps}
+
+        if key == "c" and "d" not in skip:
+            with timed("d pallas engine init"):
+                engine_p = QueryEngine(
+                    index, graph, ell_max_degree=8, use_pallas=True
+                )
+            recall_p = recall_gate(engine_p, emb_f32, queries)
+            log(f"[d pallas] recall@10 = {recall_p:.4f}")
+            qps_p = throughput(
+                engine_p, queries, steps=args.steps, label="d pallas n=1M"
+            )
+            results["synthetic_1M_pallas"] = {
+                "recall_at_10": recall_p, "qps": qps_p,
+            }
+
+    # --- E: index build time -------------------------------------------------
+    if "e" not in skip:
+        from hcrag_tpu.ingest.adventureworks import build_adventureworks
+
+        t0 = time.time()
+        bundle = build_adventureworks("/root/reference/data")
+        results["index_build_s"] = time.time() - t0
+        log(f"[E] AdventureWorks full build: {results['index_build_s']:.2f}s")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    log(json.dumps(results, indent=2))
+
+    # headline line (same schema as bench.py)
+    headline = results.get("synthetic_1000000", {}).get("qps") or results.get(
+        "synthetic_100000", {}
+    ).get("qps", 0)
+    print(
+        json.dumps(
+            {
+                "metric": "queries_per_sec_per_chip",
+                "value": round(headline, 1),
+                "unit": "qps",
+                "vs_baseline": round(headline / 10000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
