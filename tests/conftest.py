@@ -28,6 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+
+def pytest_collection_modifyitems(items):
+    """Auto-mark tests by directory (the reference's unit/integration/e2e
+    marker scheme, tests/README.md:33-39)."""
+    for item in items:
+        path = str(item.fspath)
+        for marker in ("unit", "integration", "e2e"):
+            if f"/{marker}/" in path:
+                item.add_marker(getattr(pytest.mark, marker))
+
 REFERENCE_PKL = "/root/reference/experiments/knowledge_graph_embeddings.pkl"
 
 
