@@ -405,11 +405,14 @@ class RetrievalAgent:
         trace: List[str] = []
         steps = 0
 
+        from hcrag_tpu.utils.timing import GLOBAL_TIMER as _timer
+
         def apply(name: str, fn) -> None:
             nonlocal steps
             steps += 1
             trace.append(name)
-            state.update(fn(state))
+            with _timer.span(f"agent/{name}"):
+                state.update(fn(state))
             if on_step:
                 on_step(name, state)
 

@@ -432,17 +432,26 @@ class QueryEngine:
         retrieve -> summarize.  `parser` optionally supplies the LLM query
         parser; without one the raw query is the search text (the reference's
         fallback, main.py:786-788)."""
+        from hcrag_tpu.utils.timing import GLOBAL_TIMER as _timer
+
         parsed = {"search_text": query}
         if parser is not None:
-            try:
-                parsed = parser.parse_query(query)
-            except Exception:
-                parsed = {"search_text": query}
+            with _timer.span("process_query/parse"):
+                try:
+                    parsed = parser.parse_query(query)
+                except Exception:
+                    parsed = {"search_text": query}
         search_text = parsed.get("search_text", query)
-        query_embedding = np.asarray(self.embedder.encode([search_text])[0])
-        results = self.find_similar_content(
-            query_embedding, top_k=top_k, similarity_threshold=similarity_threshold
-        )
+        with _timer.span("process_query/embed"):
+            query_embedding = np.asarray(
+                self.embedder.encode([search_text])[0]
+            )
+        with _timer.span("process_query/retrieve"):
+            results = self.find_similar_content(
+                query_embedding,
+                top_k=top_k,
+                similarity_threshold=similarity_threshold,
+            )
         avg = (
             float(np.mean([r["similarity_score"] for r in results]))
             if results
