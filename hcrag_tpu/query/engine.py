@@ -516,6 +516,16 @@ class QueryEngine:
         return self.index.content_statistics()
 
     # ------------------------------------------------------------------
+    # On-device query encoding (optional)
+    # ------------------------------------------------------------------
+    def attach_device_encoder(self, minilm_embedder) -> None:
+        """Attach a FlaxMiniLM embedder so text queries are encoded on the
+        same chips as retrieval (`models/minilm.py`).  `process_query` and
+        `search_by_category` then tokenize on host and run the encoder
+        forward pass on device."""
+        self.embedder = minilm_embedder
+
+    # ------------------------------------------------------------------
     # Graph-enriched lookups (knowledge_graph.py:449-512)
     # ------------------------------------------------------------------
     def query_similar_products(self, product_id, limit: int = 5) -> List[Dict]:
