@@ -35,6 +35,8 @@ def log(*a):
 def run_direct():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import jax
+    from hcrag_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from hcrag_tpu.query.engine import QueryEngine
     from __graft_entry__ import _synthetic_setup

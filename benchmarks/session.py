@@ -86,6 +86,9 @@ def main():
 
     import jax
 
+    from hcrag_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     results = {}
     rng = np.random.default_rng(7)
