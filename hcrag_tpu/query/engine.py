@@ -185,7 +185,6 @@ class QueryEngine:
         return masked_top_k(scores, type_mask, top_k)
 
     def _build_step(self, top_k: int, depth: int, max_expanded: int, reduction: int):
-        emb = self.d_emb
         type_ids = self.d_type_ids
         bits = self.d_bits
         counts = self.d_counts
