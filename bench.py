@@ -95,6 +95,10 @@ def run_direct():
         for _ in range(steps)
     ]
     jax.block_until_ready(outs)
+    # TPU executes in-order: reading back the last output forces completion
+    # of every dispatched step even if block_until_ready under-blocks on
+    # this experimental backend (see NOTES.md).
+    _ = np.asarray(outs[-1][0])
     elapsed = time.time() - t0
     qps = steps * batch / elapsed
     log(

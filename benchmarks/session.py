@@ -58,6 +58,10 @@ def throughput(engine, queries, *, top_k=10, depth=1, steps=20, label=""):
         for _ in range(steps)
     ]
     jax.block_until_ready(outs)
+    # TPU executes in-order: reading back the last output forces completion
+    # of every dispatched step even if block_until_ready under-blocks on
+    # this experimental backend (see NOTES.md).
+    _ = np.asarray(outs[-1][0])
     dt = time.time() - t0
     qps = steps * queries.shape[0] / dt
     log(f"[{label}] {1000 * dt / steps:.1f} ms/batch -> {qps:.0f} QPS")
