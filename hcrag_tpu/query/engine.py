@@ -166,9 +166,15 @@ class QueryEngine:
                 type_mask = jnp.concatenate(
                     [type_mask, jnp.zeros((pad,), dtype=bool)]
                 )
+            # Keep the [B, tile] f32 score block within ~8 MB of VMEM: shrink
+            # the tile for big batches (any power-of-two divisor of the
+            # pre-padded row multiple works).
+            b = q_emb.shape[0]
+            tile = self.pallas_tile_n
+            while tile > 512 and 4 * b * tile > (8 << 20):
+                tile //= 2
             return pallas_cosine_top_k(
-                q_emb, self.d_emb, type_mask, top_k,
-                tile_n=self.pallas_tile_n,
+                q_emb, self.d_emb, type_mask, top_k, tile_n=tile
             )
         n = self.d_emb.shape[0]
         if n > (1 << 18):
