@@ -41,8 +41,18 @@ class ShardedQueryEngine(QueryEngine):
         mesh=None,
         embedder=None,
         ell_max_degree: Optional[int] = None,
+        shard_queries: bool = False,
     ):
         self.mesh = mesh if mesh is not None else make_row_mesh()
+        #: With a 2-D (batch, rows) mesh, also shard the query batch —
+        #: data-parallel queries on top of the row-sharded index.
+        from hcrag_tpu.parallel.mesh import BATCH_AXIS
+
+        self.batch_axis = (
+            BATCH_AXIS
+            if shard_queries and BATCH_AXIS in self.mesh.shape
+            else None
+        )
         n_shards = self.mesh.shape[ROWS_AXIS]
 
         # Pad the row axis so it divides evenly across shards; padded rows are
@@ -88,4 +98,7 @@ class ShardedQueryEngine(QueryEngine):
                 [type_mask, jnp.zeros((pad,), dtype=bool)]
             )
         mask = type_mask & self._row_valid
-        return sharded_top_k(self.mesh, q_emb, self.d_emb, top_k, mask)
+        return sharded_top_k(
+            self.mesh, q_emb, self.d_emb, top_k, mask,
+            batch_axis=self.batch_axis,
+        )

@@ -35,17 +35,22 @@ def sharded_top_k(
     index_emb: jnp.ndarray,
     top_k: int,
     valid_mask: Optional[jnp.ndarray] = None,
+    batch_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cosine + top-k over a row-sharded index.
 
     Args:
       mesh: 1-D (or wider) mesh containing the `rows` axis.
-      query_emb: [B, D] L2-normalized queries (replicated).
+      query_emb: [B, D] L2-normalized queries (replicated, or sharded along
+        axis 0 over `batch_axis` when given — data-parallel queries).
       index_emb: [N, D] L2-normalized rows (sharded along axis 0).
       top_k: static k.
       valid_mask: optional [N] bool row filter (sharded along axis 0).
+      batch_axis: optional mesh axis name to shard the query batch over; the
+        per-shard candidate merge still rides ICI within each batch group.
 
-    Returns (values [B, k], global indices [B, k]), replicated.
+    Returns (values [B, k], global indices [B, k]) — replicated, or
+    batch-sharded when `batch_axis` is given.
     """
     n = index_emb.shape[0]
     n_shards = mesh.shape[ROWS_AXIS]
@@ -79,11 +84,12 @@ def sharded_top_k(
     if valid_mask is None:
         valid_mask = jnp.ones((n,), dtype=bool)
 
+    q_spec = P(batch_axis) if batch_axis else P()
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(ROWS_AXIS), P(ROWS_AXIS)),
-        out_specs=(P(), P()),
+        in_specs=(q_spec, P(ROWS_AXIS), P(ROWS_AXIS)),
+        out_specs=(q_spec, q_spec),
         check_vma=False,
     )
     return fn(query_emb, index_emb, valid_mask)

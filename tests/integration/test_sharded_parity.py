@@ -118,3 +118,25 @@ class TestShardedEngineParity:
         r1 = single.query_batch(q, top_k=5, category_filter="pdf_document")
         r2 = sharded.query_batch(q, top_k=5, category_filter="pdf_document")
         np.testing.assert_array_equal(r1.top_indices, r2.top_indices)
+
+
+class TestBatchShardedQueries:
+    """2-D (batch, rows) mesh with data-parallel query sharding."""
+
+    def test_batch_sharded_matches_replicated(self, bundle, rng):
+        from hcrag_tpu.parallel.mesh import make_batch_row_mesh
+
+        mesh2d = make_batch_row_mesh(2, 4)
+        repl = ShardedQueryEngine(bundle.index, bundle.graph, mesh=mesh2d)
+        dp = ShardedQueryEngine(
+            bundle.index, bundle.graph, mesh=mesh2d, shard_queries=True
+        )
+        assert dp.batch_axis == "batch"
+        q = rng.standard_normal((4, 384)).astype(np.float32)
+        r1 = repl.query_batch(q, top_k=7)
+        r2 = dp.query_batch(q, top_k=7)
+        np.testing.assert_array_equal(r1.top_indices, r2.top_indices)
+        np.testing.assert_allclose(r1.top_scores, r2.top_scores, atol=1e-5)
+        single = QueryEngine(bundle.index, bundle.graph)
+        r0 = single.query_batch(q, top_k=7)
+        np.testing.assert_array_equal(r0.top_indices, r2.top_indices)
