@@ -67,6 +67,19 @@ class DenseIndex:
     def dim(self) -> int:
         return int(self.emb.shape[1])
 
+    def row_of_metadata(self, metadata: dict) -> int:
+        """O(1) row lookup by metadata identity/id (lazily built map);
+        returns -1 when unknown."""
+        cache = getattr(self, "_row_by_meta_id", None)
+        if cache is None:
+            cache = {}
+            for i, m in enumerate(self.metadata):
+                key = m.get("id")
+                if key is not None and key not in cache:
+                    cache[key] = i
+            self._row_by_meta_id = cache
+        return cache.get(metadata.get("id"), -1)
+
     def type_mask(self, content_type: str) -> np.ndarray:
         """Row mask for a metadata content type ('database_table',
         'json_table', 'pdf_document') — the `search_by_category` prefilter

@@ -94,10 +94,10 @@ class EnhancedRAG:
         node_type = metadata_node_type(metadata)
         if node_type == "unknown":
             node_type = "specification"  # enhanced variant default (:183)
-        try:
-            row = self.engine.index.metadata.index(metadata)
+        row = self.engine.index.row_of_metadata(metadata)
+        if row >= 0:
             emb = np.asarray(self.engine.index.emb[row], np.float32)
-        except ValueError:
+        else:
             emb = np.asarray(self.engine.embedder.encode([result["content"]])[0])
         return NodeInput(
             text=result["content"],

@@ -49,10 +49,10 @@ class GraphRelevanceScorer:
         }
         # Use the cached row embedding instead of re-encoding at query time
         # (the reference re-encodes every node, :77 — a flagged hot spot).
-        try:
-            row = self.engine.index.metadata.index(metadata)
+        row = self.engine.index.row_of_metadata(metadata)
+        if row >= 0:
             emb = np.asarray(self.engine.index.emb[row], np.float32)
-        except (ValueError, TypeError):
+        else:
             emb = np.asarray(self.engine.embedder.encode([content])[0])
         return NodeInput(
             text=content,
@@ -90,9 +90,8 @@ class GraphRelevanceScorer:
             index = self.engine.index
             seeds = []
             for r in query_results["results"]:
-                try:
-                    row = index.metadata.index(r["metadata"])
-                except ValueError:
+                row = index.row_of_metadata(r["metadata"])
+                if row < 0:
                     continue
                 gid = int(index.graph_ids[row])
                 if gid >= 0:

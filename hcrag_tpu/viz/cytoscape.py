@@ -42,9 +42,8 @@ def extract_subgraph_from_results(
     matched_graph_ids: List[int] = []
     for i, result in enumerate(results):
         meta = result["metadata"]
-        try:
-            row = index.metadata.index(meta)
-        except ValueError:
+        row = index.row_of_metadata(meta)
+        if row < 0:
             continue
         gid = int(index.graph_ids[row]) if graph is not None else -1
         node_id = f"result_{i}"
