@@ -114,6 +114,7 @@ class AgentResult:
     final_relevant_nodes: List[NodeInput]
     semantic_scored_nodes: List[NodeInput]
     expanded_nodes: List[Dict]
+    expanded_scored_nodes: List[NodeInput]
     expanded_subgraph: List[Dict]
     revision_history: List[str]
     decision: str
@@ -438,6 +439,7 @@ class RetrievalAgent:
             final_relevant_nodes=state.get("final_relevant_nodes", []),
             semantic_scored_nodes=state.get("semantic_scored_nodes", []),
             expanded_nodes=state.get("expanded_nodes", []),
+            expanded_scored_nodes=state.get("expanded_scored_nodes", []),
             expanded_subgraph=state.get("expanded_subgraph", []),
             revision_history=state.get("revision_history", []),
             decision=state.get("decision", ""),

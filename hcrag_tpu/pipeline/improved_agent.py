@@ -190,6 +190,7 @@ class ImprovedRetrievalAgent(RetrievalAgent):
                         final_relevant_nodes=[],
                         semantic_scored_nodes=[],
                         expanded_nodes=[],
+                        expanded_scored_nodes=[],
                         expanded_subgraph=[],
                         revision_history=[],
                         decision="error",

@@ -90,11 +90,13 @@ class QueryEngine:
         device=None,
         use_pallas: bool = False,
         pallas_tile_n: int = 2048,
+        quantize_int8: bool = False,
     ):
         self.index = index
         self.graph = graph
         self.use_pallas = use_pallas
         self.pallas_tile_n = pallas_tile_n
+        self.quantize_int8 = quantize_int8
         if embedder is None:
             from hcrag_tpu.models.embedder import embedder_from_index
 
@@ -110,7 +112,20 @@ class QueryEngine:
         if use_pallas and emb_host.shape[0] % pallas_tile_n:
             pad = pallas_tile_n - emb_host.shape[0] % pallas_tile_n
             emb_host = np.pad(emb_host, ((0, pad), (0, 0)))
-        self.d_emb = put(jnp.asarray(emb_host))
+        if quantize_int8:
+            from hcrag_tpu.ops.quantize import quantize_rows
+
+            q8, scale = quantize_rows(emb_host.astype(np.float32))
+            self.d_emb_int8 = put(jnp.asarray(q8))
+            self.d_emb_scale = put(jnp.asarray(scale))
+            # Keep a bf16 copy only for expanded-node scoring gathers (small
+            # gathers; dominated by the int8 matmul savings).  For extreme
+            # memory pressure pass a pre-bf16 index and it is reused as-is.
+            self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
+        else:
+            self.d_emb_int8 = None
+            self.d_emb_scale = None
+            self.d_emb = put(jnp.asarray(emb_host))
         self.d_type_ids = put(jnp.asarray(index.type_ids))
         self.d_bits = put(jnp.asarray(index.entity_bits))
         self.d_counts = put(jnp.asarray(index.entity_counts))
@@ -176,6 +191,20 @@ class QueryEngine:
             return pallas_cosine_top_k(
                 q_emb, self.d_emb, type_mask, top_k, tile_n=tile
             )
+        if self.quantize_int8:
+            from hcrag_tpu.ops.quantize import (
+                quantize_queries,
+                quantized_scores,
+                streaming_quantized_top_k,
+            )
+
+            if self.d_emb_int8.shape[0] > (1 << 18):
+                return streaming_quantized_top_k(
+                    q_emb, self.d_emb_int8, self.d_emb_scale, type_mask, top_k
+                )
+            qi, qs = quantize_queries(q_emb.astype(jnp.float32))
+            scores = quantized_scores(qi, qs, self.d_emb_int8, self.d_emb_scale)
+            return masked_top_k(scores, type_mask, top_k)
         n = self.d_emb.shape[0]
         if n > (1 << 18):
             # Large index: stream row chunks (constant compile size, no

@@ -1,0 +1,74 @@
+"""Int8 quantized-index retrieval tests."""
+
+import numpy as np
+import pytest
+
+from hcrag_tpu.query.engine import QueryEngine
+from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+
+class TestQuantize:
+    def test_roundtrip_error_bounded(self):
+        from hcrag_tpu.ops.quantize import quantize_rows
+
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((100, 64)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q, scale = quantize_rows(emb)
+        restored = q.astype(np.float32) * scale[:, None]
+        assert np.abs(restored - emb).max() < 1.0 / 127
+
+    def test_zero_row(self):
+        from hcrag_tpu.ops.quantize import quantize_rows
+
+        q, scale = quantize_rows(np.zeros((2, 8), np.float32))
+        assert (q == 0).all() and (scale == 0).all()
+
+    def test_engine_int8_matches_f32_ranking(self):
+        idx = synthetic_dense_index(4000, 128, seed=3)
+        e32 = QueryEngine(idx, None)
+        e8 = QueryEngine(idx, None, quantize_int8=True)
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((6, 128)).astype(np.float32)
+        r32 = e32.query_batch(q, top_k=10)
+        r8 = e8.query_batch(q, top_k=10)
+        overlap = np.mean(
+            [
+                len(set(r32.top_indices[i]) & set(r8.top_indices[i])) / 10
+                for i in range(6)
+            ]
+        )
+        assert overlap >= 0.9
+        assert np.abs(r32.top_scores - r8.top_scores).max() < 0.01
+
+    def test_streaming_int8_top_k(self):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.quantize import (
+            quantize_rows,
+            streaming_quantized_top_k,
+        )
+
+        emb = np.asarray(
+            synthetic_dense_index(200_000, 64, seed=4).emb, np.float32
+        )
+        q = emb[:4]
+        q8, s8 = quantize_rows(emb)
+        v, i = streaming_quantized_top_k(
+            jnp.asarray(q), jnp.asarray(q8), jnp.asarray(s8),
+            jnp.ones((emb.shape[0],), bool), 10, chunk_rows=1 << 16,
+        )
+        assert (np.asarray(i)[:, 0] == np.arange(4)).all()  # self-hit
+
+    def test_category_mask_respected_int8(self):
+        idx = synthetic_dense_index(2000, 64, seed=5)
+        e8 = QueryEngine(idx, None, quantize_int8=True)
+        mask_rows = np.zeros(2000, bool)
+        mask_rows[100:200] = True
+        # drive through the public path: monkeypatch type_mask
+        idx.type_mask = lambda t: mask_rows
+        r = e8.query_batch(
+            np.asarray(idx.emb[150], np.float32), top_k=5,
+            category_filter="anything",
+        )
+        assert all(100 <= int(x) < 200 for x in r.top_indices[0])
