@@ -424,8 +424,17 @@ class QueryEngine:
         return cache[(b, w)]
 
     def query_batch(self, query_embs, **kwargs) -> QueryBatchResult:
-        """Blocking wrapper over `query_batch_device` returning host arrays."""
-        out = self.query_batch_device(query_embs, **kwargs)
+        """Blocking wrapper over `query_batch_device` returning host arrays.
+
+        Retries once on transient runtime unavailability (this environment's
+        remote-compile RPC can drop mid-compile; a retry re-enters the
+        compile, usually against a healthier connection — NOTES.md)."""
+        try:
+            out = self.query_batch_device(query_embs, **kwargs)
+        except Exception as e:  # jax.errors.JaxRuntimeError UNAVAILABLE
+            if "UNAVAILABLE" not in str(e) and "transport" not in str(e):
+                raise
+            out = self.query_batch_device(query_embs, **kwargs)
         names = (
             "top_scores", "top_indices", "relevance", "combined",
             "expanded_nodes", "expanded_counts", "expanded_relevance",
