@@ -1,0 +1,82 @@
+"""Parity tests across the three top-k lowerings (small / chunked / streaming)."""
+
+import numpy as np
+import pytest
+
+
+def _data(n, d, b, seed=0):
+    rng = np.random.default_rng(seed)
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q, e
+
+
+class TestStreamingTopK:
+    def test_matches_brute_force_with_mask(self):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.similarity import streaming_masked_top_k
+
+        q, e = _data(300_000, 32, 4)
+        mask = np.ones(300_000, bool)
+        mask[:1000] = False
+        v, i = streaming_masked_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10,
+            chunk_rows=1 << 16,
+        )
+        s = q @ e.T
+        s[:, :1000] = -np.inf
+        ref = np.argsort(-s, axis=1, kind="stable")[:, :10]
+        np.testing.assert_array_equal(np.asarray(i), ref)
+
+    def test_ragged_chunk_padding(self):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.similarity import streaming_masked_top_k
+
+        q, e = _data(70_001, 16, 2, seed=1)  # not a chunk multiple
+        v, i = streaming_masked_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.ones((70_001,), bool), 5,
+            chunk_rows=1 << 15,
+        )
+        assert (np.asarray(i) < 70_001).all()
+        ref = np.argsort(-(q @ e.T), axis=1, kind="stable")[:, :5]
+        np.testing.assert_array_equal(np.asarray(i), ref)
+
+    def test_tie_break_lowest_chunk(self):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.similarity import streaming_masked_top_k
+
+        d = 16
+        e = np.tile(np.eye(1, d, dtype=np.float32), (40_000, 1))
+        q = np.eye(1, d, dtype=np.float32)
+        v, i = streaming_masked_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.ones((40_000,), bool), 4,
+            chunk_rows=1 << 14,
+        )
+        assert np.asarray(i)[0].tolist() == [0, 1, 2, 3]
+
+
+class TestChunkedTopK:
+    def test_k_larger_than_n(self):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.similarity import chunked_top_k
+
+        s = np.array([[3.0, 1.0, 2.0]], np.float32)
+        v, i = chunked_top_k(jnp.asarray(s), 10)
+        assert np.asarray(i)[0].tolist() == [0, 2, 1]
+
+    def test_engine_switches_to_streaming_past_threshold(self):
+        # Shape-only check: a >2^18-row engine compiles the streaming path.
+        from hcrag_tpu.query.engine import QueryEngine
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        idx = synthetic_dense_index(1 << 18 | 1024, 32, seed=2)
+        engine = QueryEngine(idx, None)
+        q = np.asarray(idx.emb[3], np.float32)
+        r = engine.query_batch(q, top_k=3)
+        assert r.top_indices[0][0] == 3
