@@ -94,7 +94,9 @@ def streaming_quantized_top_k(
         e_c, s_c, m_c, base = args
         scores = quantized_scores(qi, qs, e_c, s_c)
         scores = jnp.where(m_c[None, :], scores, -jnp.inf)
-        v, i = jax.lax.top_k(scores, k)
+        from hcrag_tpu.ops.similarity import fast_top_k
+
+        v, i = fast_top_k(scores, k)
         return v, i.astype(jnp.int32) + base
 
     vals, idxs = jax.lax.map(body, (e_chunks, s_chunks, m_chunks, bases))

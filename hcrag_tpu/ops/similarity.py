@@ -67,6 +67,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def fast_top_k(scores: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backend-aware exact top-k over the last axis.
+
+    On TPU, `lax.approx_max_k` with recall_target=1.0 lowers to the hardware
+    PartialReduce op — an exact top-k that avoids the full bitonic sort
+    `lax.top_k` pays (the dominant cost of the retrieval step at large N).
+    Elsewhere it falls back to `lax.top_k`.  Note: within-tile tie ORDER on
+    the TPU path follows the hardware reduce; cross-chunk merges remain
+    position-stable, and score parity is unaffected.
+    """
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    if backend in ("tpu", "axon") and k <= scores.shape[-1]:
+        return jax.lax.approx_max_k(
+            scores, k, recall_target=1.0, aggregate_to_topk=True
+        )
+    return jax.lax.top_k(scores, k)
+
+
 def chunked_top_k(
     scores: jnp.ndarray, k: int, chunk: int = 16384
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -96,7 +117,7 @@ def chunked_top_k(
         )
     c = n_pad // chunk
     tiled = scores.reshape(b, c, chunk)
-    v1, i1 = jax.lax.top_k(tiled, k)  # [B, C, k]
+    v1, i1 = fast_top_k(tiled, k)  # [B, C, k]
     base = (jnp.arange(c, dtype=jnp.int32) * chunk)[None, :, None]
     gi1 = i1.astype(jnp.int32) + base  # global indices
     v1 = v1.reshape(b, c * k)
@@ -184,7 +205,7 @@ def streaming_masked_top_k(
         emb_c, mask_c, base = args
         scores = jnp.dot(q, emb_c.T, preferred_element_type=jnp.float32)
         scores = jnp.where(mask_c[None, :], scores, -jnp.inf)
-        v, i = jax.lax.top_k(scores, k)
+        v, i = fast_top_k(scores, k)
         return v, i.astype(jnp.int32) + base
 
     vals, idxs = jax.lax.map(body, (emb_chunks, mask_chunks, bases))
