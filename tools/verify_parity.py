@@ -1,0 +1,132 @@
+"""One-command behavioral parity verification against the reference.
+
+Builds the index from the reference's shipped pickle, replays retrieval and
+scoring through NumPy re-implementations of the reference algorithms, and
+reports exact-match statistics.  Runs on CPU in ~1 minute:
+
+    JAX_PLATFORMS=cpu PYTHONPATH=. python tools/verify_parity.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+PKL = "/root/reference/experiments/knowledge_graph_embeddings.pkl"
+
+
+def check(name, ok, detail=""):
+    print(f"  [{'PASS' if ok else 'FAIL'}] {name} {detail}")
+    return bool(ok)
+
+
+def main():
+    import pickle
+
+    from hcrag_tpu.core.types import (
+        PRIORITY_MATRIX, CompositeWeights, QueryIntent, ScorerType,
+        node_type_id,
+    )
+    from hcrag_tpu.ingest.adventureworks import build_adventureworks, process_corpus
+    from hcrag_tpu.pipeline.isrelevant import (
+        batch_isRelevant, overlap_fallback_scores,
+    )
+    from hcrag_tpu.query import QueryEngine
+    from hcrag_tpu.testing import create_sample_nodes, create_sample_query
+
+    ok = True
+    with open(PKL, "rb") as f:
+        ref = pickle.load(f)
+    emb = np.asarray(ref["embeddings"], np.float32)
+
+    print("== retrieval parity (vs reference brute-force cosine) ==")
+    bundle = build_adventureworks("/root/reference/data", reference_pickle=PKL)
+    engine = QueryEngine(bundle.index, bundle.graph)
+    rng = np.random.default_rng(123)
+    queries = np.concatenate(
+        [emb[rng.integers(0, 585, 32)],
+         rng.standard_normal((32, 384)).astype(np.float32)]
+    )
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    exact = 0
+    for q in queries:
+        qn = q / np.linalg.norm(q)
+        ref_top = set(np.argsort(-(en @ qn), kind="stable")[:10].tolist())
+        got = set(
+            engine.query_batch(q, top_k=10).top_indices[0].tolist()
+        )
+        exact += got == ref_top
+    ok &= check("recall@10 exact-set match", exact == len(queries),
+                f"({exact}/{len(queries)} queries)")
+
+    print("== ingestion parity (text representations) ==")
+    texts, metadata = process_corpus("/root/reference/data")
+    same = sum(
+        t == rt
+        for t, rt, m in zip(texts, ref["texts"], ref["metadata"])
+        if m.get("type") == "database_table"
+    )
+    total = sum(1 for m in ref["metadata"] if m.get("type") == "database_table")
+    ok &= check("CSV row texts byte-identical", same == total, f"({same}/{total})")
+
+    print("== graph schema ==")
+    stats = bundle.graph.statistics()
+    ok &= check("node counts", stats["nodes"] == {
+        "Product": 100, "Category": 41, "Document": 4, "Annotation": 9})
+    ok &= check("all 7 edge types present",
+                len(stats["relationships"]) == 7, str(stats["relationships"]))
+
+    print("== scoring parity (reference formulas re-derived in NumPy) ==")
+    q = create_sample_query()
+    nodes = create_sample_nodes()
+    sem = []
+    for n_ in nodes:
+        a, b = q.embeddings, n_.embeddings
+        sem.append(((a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)) + 1) / 2)
+    ent = []
+    qset = set(q.entities)
+    for n_ in nodes:
+        ns = set(n_.entities)
+        ent.append(
+            (0.5 if not ns else 0.1) if not qset
+            else len(qset & ns) / len(qset)
+        )
+    typ = [
+        PRIORITY_MATRIX[q.intent.index, node_type_id(n_.node_type)]
+        for n_ in nodes
+    ]
+    llm = overlap_fallback_scores(q, nodes)
+    w = CompositeWeights()
+    expected = [
+        w.semantic_similarity * s + w.llm_judge * l + w.entity_match * e
+        + w.node_type_priority * t
+        for s, l, e, t in zip(sem, llm, ent, typ)
+    ]
+    got = batch_isRelevant(q, nodes, ScorerType.COMPOSITE)
+    ok &= check("COMPOSITE formula", np.allclose(got, expected, atol=1e-5))
+    got_par = batch_isRelevant(q, nodes, ScorerType.PARALLEL)
+    exp_par = [max(s, l, e, t) for s, l, e, t in zip(sem, llm, ent, typ)]
+    ok &= check("PARALLEL formula", np.allclose(got_par, exp_par, atol=1e-5))
+
+    print("== constants ==")
+    from hcrag_tpu import config as cfg
+
+    ok &= check("thresholds", (cfg.SEMANTIC_GATE, cfg.HIGH_RELEVANCE,
+                               cfg.FINAL_TOP_K, cfg.SAMPLE_LIMIT,
+                               cfg.MAX_CONNECTED_NODES)
+                == (0.60, 0.7, 15, 20, 20))
+    ok &= check("weights default",
+                CompositeWeights().as_array().tolist()
+                == [np.float32(0.3), np.float32(0.45), np.float32(0.15),
+                    np.float32(0.1)])
+
+    print("\nOVERALL:", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
