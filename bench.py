@@ -47,7 +47,8 @@ def run_direct():
     top_k = int(os.environ.get("BENCH_TOPK", 10))
     depth = int(os.environ.get("BENCH_DEPTH", 1))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    bp = os.environ.get("BENCH_PALLAS")
+    use_pallas = None if bp is None else bp == "1"
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     log(f"building synthetic index n={n} dim={dim} dtype={dtype} ...")

@@ -34,9 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _topk_tile_kernel(q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *, k: int):
+def _topk_tile_kernel(
+    q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *, k: int, k_pad: int
+):
     """One grid step: score a [TILE_N, D] tile against q [B, D] and emit the
-    tile's top-k per query."""
+    tile's top-k per query into a lane-aligned [B, k_pad] candidate block."""
     tile = pl.program_id(0)
     tile_n = e_ref.shape[0]
     b = q_ref.shape[0]
@@ -48,21 +50,28 @@ def _topk_tile_kernel(q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *, k: int):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    scores = jnp.where(mask_ref[:][None, :], scores, NEG_INF)
+    scores = jnp.where(mask_ref[0, :][None, :] != 0, scores, NEG_INF)
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     base = tile * tile_n
 
-    # k static max+mask selection passes (unrolled; k is small).
+    # k static max+mask selection passes (unrolled; k is small), accumulated
+    # into lane-aligned [B, k_pad] buffers written once.
+    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
+    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
     for j in range(k):
         best = jnp.max(scores, axis=1)  # [B]
         # First-occurrence argmax for deterministic lowest-index ties.
         is_best = scores == best[:, None]
         first_best = jnp.min(jnp.where(is_best, col_ids, tile_n), axis=1)
-        vals_ref[:, 0, j] = best
-        idxs_ref[:, 0, j] = first_best + base
+        sel = slot_ids == j
+        vals_acc = jnp.where(sel, best[:, None], vals_acc)
+        idxs_acc = jnp.where(sel, (first_best + base)[:, None], idxs_acc)
         # Mask out the chosen column.
         scores = jnp.where(col_ids == first_best[:, None], NEG_INF, scores)
+    vals_ref[:] = vals_acc
+    idxs_ref[:] = idxs_acc
 
 
 def _round_up(x: int, m: int) -> int:
@@ -104,45 +113,55 @@ def pallas_cosine_top_k(
         index_emb = jnp.pad(index_emb, ((0, n_pad - n), (0, 0)))
         valid_mask = jnp.pad(valid_mask, (0, n_pad - n))
     num_tiles = n_pad // tile_n
+    # Mosaic wants >=2-D, lane-aligned blocks: carry the mask as [1, N] int32
+    # and pad the per-tile candidate lane dim to 128.
+    mask_2d = valid_mask.astype(jnp.int32).reshape(1, n_pad)
+    k_pad = 128
+    b_pad = _round_up(b, 8)
+    if b_pad != b:
+        query_emb = jnp.pad(query_emb, ((0, b_pad - b), (0, 0)))
 
-    kernel = functools.partial(_topk_tile_kernel, k=k)
+    kernel = functools.partial(_topk_tile_kernel, k=k, k_pad=k_pad)
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b, 1, k), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1, k), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (b_pad, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (b_pad, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
     )
-    flops = 2 * b * n_pad * d + 3 * b * n_pad * k
+    flops = 2 * b_pad * n_pad * d + 3 * b_pad * n_pad * k
     vals, idxs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, num_tiles, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, num_tiles, k), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, num_tiles * k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, num_tiles * k_pad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=n_pad * d * index_emb.dtype.itemsize
-            + b * d * 4
-            + 2 * b * num_tiles * k * 4,
+            + b_pad * d * 4
+            + 2 * b_pad * num_tiles * k_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(query_emb, index_emb, valid_mask)
+    )(query_emb, index_emb, mask_2d)
 
-    # Final merge over the per-tile candidates (XLA; tiny).
-    vals_flat = vals.reshape(b, num_tiles * k)
-    idxs_flat = idxs.reshape(b, num_tiles * k)
-    out_v, pos = jax.lax.top_k(vals_flat, k)
-    out_i = jnp.take_along_axis(idxs_flat, pos, axis=1)
+    # Final merge over the per-tile candidates (XLA; tiny).  Slots >= k hold
+    # NEG_INF / -1 and never win.
+    out_v, pos = jax.lax.top_k(vals[:b], k)
+    out_i = jnp.take_along_axis(idxs[:b], pos, axis=1)
     return out_v, out_i
 
 

@@ -88,12 +88,25 @@ class QueryEngine:
         embedder=None,
         ell_max_degree: Optional[int] = None,
         device=None,
-        use_pallas: bool = False,
+        use_pallas: Optional[bool] = None,
         pallas_tile_n: int = 2048,
         quantize_int8: bool = False,
     ):
         self.index = index
         self.graph = graph
+        if use_pallas is None:
+            # Default to the fused Pallas kernel on TPU backends: measured
+            # 19x faster than the XLA matmul+top-k pipeline (5.5 ms vs
+            # 106 ms per 512-query batch at 250k rows — benchmarks/ablation).
+            try:
+                backend = jax.default_backend()
+            except RuntimeError:
+                backend = "cpu"
+            use_pallas = (
+                backend in ("tpu", "axon")
+                and index.dim % 128 == 0
+                and not quantize_int8
+            )
         self.use_pallas = use_pallas
         self.pallas_tile_n = pallas_tile_n
         self.quantize_int8 = quantize_int8
