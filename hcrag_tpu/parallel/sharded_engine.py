@@ -82,14 +82,19 @@ class ShardedQueryEngine(QueryEngine):
             np.arange(self._n_padded) < n_orig
         )
 
-    def _gather_emb_rows(self, indices):
+    def _bank(self):
+        bank = super()._bank()
+        bank["row_valid"] = self._row_valid
+        return bank
+
+    def _gather_emb_rows(self, indices, bank):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return self.d_emb.at[indices].get(
+        return bank["emb"].at[indices].get(
             out_sharding=NamedSharding(self.mesh, P())
         )
 
-    def _topk_impl(self, q_emb, type_mask, top_k: int):
+    def _topk_impl(self, q_emb, type_mask, top_k: int, bank):
         # type_mask arrives sized [n_orig] (host filters) or [n_padded] (the
         # engine's cached all-true mask); pad if needed, then AND validity.
         pad = self._n_padded - type_mask.shape[0]
@@ -97,8 +102,8 @@ class ShardedQueryEngine(QueryEngine):
             type_mask = jnp.concatenate(
                 [type_mask, jnp.zeros((pad,), dtype=bool)]
             )
-        mask = type_mask & self._row_valid
+        mask = type_mask & bank["row_valid"]
         return sharded_top_k(
-            self.mesh, q_emb, self.d_emb, top_k, mask,
+            self.mesh, q_emb, bank["emb"], top_k, mask,
             batch_axis=self.batch_axis,
         )

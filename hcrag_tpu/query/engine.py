@@ -174,22 +174,49 @@ class QueryEngine:
     # ------------------------------------------------------------------
     # Device step construction
     # ------------------------------------------------------------------
-    def _gather_emb_rows(self, indices):
+    def _bank(self) -> Dict:
+        """The device-array bank, passed as a jit ARGUMENT to every step.
+
+        Closing over these arrays instead would embed them as constants in
+        the lowered HLO — harmless on a local runtime, fatal here: this
+        environment compiles via an HTTP relay and a 768 MB constant blows
+        the request limit (HTTP 413) or times it out.  As arguments they
+        lower to parameters; identical arrays on every call hit the same
+        jit cache entry."""
+        bank = {
+            "emb": self.d_emb,
+            "type_ids": self.d_type_ids,
+            "bits": self.d_bits,
+            "counts": self.d_counts,
+            "graph_ids": self.d_graph_ids,
+        }
+        if self.quantize_int8:
+            bank["emb_int8"] = self.d_emb_int8
+            bank["emb_scale"] = self.d_emb_scale
+        if self.d_neighbors is not None:
+            bank["neighbors"] = self.d_neighbors
+            bank["neighbors_hop2"] = self.d_neighbors_hop2
+            bank["g_type_ids"] = self.d_g_type_ids
+            bank["g_row"] = self.d_g_row
+        return bank
+
+    def _gather_emb_rows(self, indices, bank):
         """Gather embedding rows at arbitrary indices ([..., D]).  Overridden
         by the sharded engine: a gather from a row-sharded table needs an
         explicit replicated out-sharding (XLA inserts the collective)."""
-        return self.d_emb[indices]
+        return bank["emb"][indices]
 
-    def _topk_impl(self, q_emb, type_mask, top_k: int):
+    def _topk_impl(self, q_emb, type_mask, top_k: int, bank):
         """Dense cosine + masked top-k (single-device path).  The sharded
         engine overrides this with a shard_map'd local-topk + ICI merge.
 
         With `use_pallas=True` the Pallas fused kernel streams index tiles
         through VMEM and never materializes the [B, N] score matrix."""
+        emb = bank["emb"]
         if self.use_pallas:
             from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k
 
-            pad = self.d_emb.shape[0] - type_mask.shape[0]
+            pad = emb.shape[0] - type_mask.shape[0]
             if pad:
                 type_mask = jnp.concatenate(
                     [type_mask, jnp.zeros((pad,), dtype=bool)]
@@ -202,7 +229,7 @@ class QueryEngine:
             while tile > 512 and 4 * b * tile > (8 << 20):
                 tile //= 2
             return pallas_cosine_top_k(
-                q_emb, self.d_emb, type_mask, top_k, tile_n=tile
+                q_emb, emb, type_mask, top_k, tile_n=tile
             )
         if self.quantize_int8:
             from hcrag_tpu.ops.quantize import (
@@ -211,37 +238,28 @@ class QueryEngine:
                 streaming_quantized_top_k,
             )
 
-            if self.d_emb_int8.shape[0] > (1 << 18):
+            if bank["emb_int8"].shape[0] > (1 << 18):
                 return streaming_quantized_top_k(
-                    q_emb, self.d_emb_int8, self.d_emb_scale, type_mask, top_k
+                    q_emb, bank["emb_int8"], bank["emb_scale"], type_mask,
+                    top_k,
                 )
             qi, qs = quantize_queries(q_emb.astype(jnp.float32))
-            scores = quantized_scores(qi, qs, self.d_emb_int8, self.d_emb_scale)
+            scores = quantized_scores(qi, qs, bank["emb_int8"], bank["emb_scale"])
             return masked_top_k(scores, type_mask, top_k)
-        n = self.d_emb.shape[0]
+        n = emb.shape[0]
         if n > (1 << 18):
             # Large index: stream row chunks (constant compile size, no
             # [B, N] score buffer).
-            return streaming_masked_top_k(
-                q_emb, self.d_emb, type_mask, top_k
-            )
+            return streaming_masked_top_k(q_emb, emb, type_mask, top_k)
         scores = jnp.dot(
-            q_emb.astype(self.d_emb.dtype),
-            self.d_emb.T,
+            q_emb.astype(emb.dtype),
+            emb.T,
             preferred_element_type=jnp.float32,
         )  # [B, N] cosine
         return masked_top_k(scores, type_mask, top_k)
 
     def _build_step(self, top_k: int, depth: int, max_expanded: int, reduction: int):
-        type_ids = self.d_type_ids
-        bits = self.d_bits
-        counts = self.d_counts
-        graph_ids = self.d_graph_ids
-        neighbors = self.d_neighbors
-        neighbors_hop2 = self.d_neighbors_hop2
-        g_type_ids = self.d_g_type_ids
-        g_row = self.d_g_row
-        has_graph = neighbors is not None
+        has_graph = self.d_neighbors is not None
 
         from hcrag_tpu.core.types import PRIORITY_MATRIX
 
@@ -256,12 +274,18 @@ class QueryEngine:
         topk_impl = self._topk_impl
         gather_emb = self._gather_emb_rows
 
-        def step(q_emb, q_bits, q_oov, intent_ids, weights, type_mask, llm_topk):
+        def step(q_emb, q_bits, q_oov, intent_ids, weights, type_mask,
+                 llm_topk, bank):
             # q_emb [B, D] (L2-normalized on host), q_bits [B, W], q_oov [B],
             # intent_ids [B], weights [4], type_mask [N] bool (all-True when
             # unfiltered), llm_topk [B, k] host LLM-judge column (zeros if
-            # absent).
-            top_v, top_i = topk_impl(q_emb, type_mask, top_k)
+            # absent), bank = the device-array index/graph tables (see
+            # `_bank` for why these are arguments, not closures).
+            type_ids = bank["type_ids"]
+            bits = bank["bits"]
+            counts = bank["counts"]
+            graph_ids = bank["graph_ids"]
+            top_v, top_i = topk_impl(q_emb, type_mask, top_k, bank)
 
             # --- relevance metrics on retrieved rows --------------------
             sem = (top_v + 1.0) * 0.5
@@ -297,21 +321,24 @@ class QueryEngine:
             seeds = jnp.where(top_v >= -1.0, graph_ids[top_i], -1)  # [B, k]
             expanded, exp_count = jax.vmap(
                 lambda s: expand_k_hop(
-                    neighbors,
+                    bank["neighbors"],
                     s,
                     depth=depth,
                     max_nodes=max_expanded,
-                    hop2_neighbors=neighbors_hop2,
+                    hop2_neighbors=bank["neighbors_hop2"],
                 )
             )(seeds)
 
             # --- expanded-node scoring -----------------------------------
             valid = expanded >= 0
             safe_nodes = jnp.where(valid, expanded, 0)
-            rows = g_row[safe_nodes]  # [B, E] (-1 if node has no embedding)
+            rows = bank["g_row"][safe_nodes]  # [B, E]; -1 = no embedding
             has_row = rows >= 0
             safe_rows = jnp.where(has_row, rows, 0)
-            e_emb = gather_emb(safe_rows).astype(jnp.float32) * has_row[..., None]
+            e_emb = (
+                gather_emb(safe_rows, bank).astype(jnp.float32)
+                * has_row[..., None]
+            )
             sem_e = (
                 jnp.einsum("bd,bed->be", q_emb.astype(jnp.float32), e_emb) + 1.0
             ) * 0.5
@@ -326,7 +353,7 @@ class QueryEngine:
                 jnp.where(e_counts == 0, 0.5, 0.1),
                 ratio_e,
             )
-            typ_e = priority[intent_ids[:, None], g_type_ids[safe_nodes]]
+            typ_e = priority[intent_ids[:, None], bank["g_type_ids"][safe_nodes]]
             rel_e = _metrics_reduce(
                 sem_e, jnp.zeros_like(sem_e), ent_e, typ_e, weights
             )
@@ -405,7 +432,8 @@ class QueryEngine:
 
         step = self._step(top_k, expansion_depth, max_expanded, reduction)
         return step(
-            q, q_bits, q_oov, intent_ids, jnp.asarray(w), type_mask, llm_topk
+            q, q_bits, q_oov, intent_ids, jnp.asarray(w), type_mask,
+            llm_topk, self._bank(),
         )
 
     # Cached device-side constant inputs (avoid re-uploading per call).
