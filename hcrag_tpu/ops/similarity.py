@@ -203,7 +203,10 @@ def streaming_masked_top_k(
 
     def body(args):
         emb_c, mask_c, base = args
-        scores = jnp.dot(q, emb_c.T, preferred_element_type=jnp.float32)
+        scores = jnp.dot(
+            q, emb_c.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         scores = jnp.where(mask_c[None, :], scores, -jnp.inf)
         v, i = fast_top_k(scores, k)
         return v, i.astype(jnp.int32) + base

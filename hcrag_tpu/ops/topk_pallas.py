@@ -49,6 +49,7 @@ def _topk_tile_kernel(
         e_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     scores = jnp.where(mask_ref[0, :][None, :] != 0, scores, NEG_INF)
 
@@ -164,9 +165,3 @@ def pallas_cosine_top_k(
     out_i = jnp.take_along_axis(idxs[:b], pos, axis=1)
     return out_v, out_i
 
-
-def _tile_kernel_out_block_fix():
-    """(documentation stub) The out BlockSpec uses a [B, 1, k] block per grid
-    step; vals_ref/idxs_ref inside the kernel are therefore [B, 1, k] — the
-    kernel indexes [:, j] which numpy-squeezes to the block's middle dim.
-    See tests for the interpret-mode parity check."""

@@ -470,12 +470,24 @@ class QueryEngine:
         Retries once on transient runtime unavailability (this environment's
         remote-compile RPC can drop mid-compile; a retry re-enters the
         compile, usually against a healthier connection — NOTES.md)."""
-        try:
-            out = self.query_batch_device(query_embs, **kwargs)
-        except Exception as e:  # jax.errors.JaxRuntimeError UNAVAILABLE
-            if "UNAVAILABLE" not in str(e) and "transport" not in str(e):
-                raise
-            out = self.query_batch_device(query_embs, **kwargs)
+        import time as _time
+
+        attempts = 0
+        while True:
+            try:
+                out = self.query_batch_device(query_embs, **kwargs)
+                break
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                msg = str(e)
+                transient = any(
+                    s in msg
+                    for s in ("UNAVAILABLE", "transport", "remote_compile",
+                              "Broken pipe", "HTTP 5")
+                )
+                attempts += 1
+                if not transient or attempts > 3:
+                    raise
+                _time.sleep(5 * attempts)
         names = (
             "top_scores", "top_indices", "relevance", "combined",
             "expanded_nodes", "expanded_counts", "expanded_relevance",
