@@ -221,12 +221,19 @@ class QueryEngine:
                 type_mask = jnp.concatenate(
                     [type_mask, jnp.zeros((pad,), dtype=bool)]
                 )
-            # Keep the [B, tile] f32 score block within ~8 MB of VMEM: shrink
-            # the tile for big batches (any power-of-two divisor of the
-            # pre-padded row multiple works).
+            # Keep the kernel's VMEM footprint (score block + double-buffered
+            # E tile + candidate accumulators) within ~10 MB of the 16 MB
+            # budget: shrink the tile for big batches / wide dtypes (any
+            # power-of-two divisor of the pre-padded row multiple works).
             b = q_emb.shape[0]
+            ebytes = emb.dtype.itemsize
+            d = emb.shape[1]
             tile = self.pallas_tile_n
-            while tile > 512 and 4 * b * tile > (8 << 20):
+
+            def footprint(t):
+                return 4 * b * t + 2 * t * d * ebytes + 8 * b * 128
+
+            while tile > 512 and footprint(tile) > (10 << 20):
                 tile //= 2
             return pallas_cosine_top_k(
                 q_emb, emb, type_mask, top_k, tile_n=tile
