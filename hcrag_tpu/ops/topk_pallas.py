@@ -43,13 +43,21 @@ def _topk_tile_kernel(
     tile_n = e_ref.shape[0]
     b = q_ref.shape[0]
 
-    # MXU: [B, D] x [D, TILE_N] -> [B, TILE_N] with f32 accumulation.
+    # MXU: [B, D] x [D, TILE_N] -> [B, TILE_N] with f32 accumulation.  For an
+    # f32 index, HIGHEST precision (3-pass bf16 decomposition) makes scores
+    # bit-exact vs f32 brute force; Mosaic rejects HIGHEST for bf16 operands,
+    # where default single-pass precision is already input-exact.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if e_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     scores = jax.lax.dot_general(
-        q_ref[:],
+        q_ref[:].astype(e_ref.dtype),
         e_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     scores = jnp.where(mask_ref[0, :][None, :] != 0, scores, NEG_INF)
 
