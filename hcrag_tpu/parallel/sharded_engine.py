@@ -65,27 +65,45 @@ class ShardedQueryEngine(QueryEngine):
             index, graph, embedder=embedder, ell_max_degree=ell_max_degree
         )
 
-        # Re-place the big arrays with explicit shardings.
+        # Re-place the big arrays with explicit shardings.  Every other table
+        # is explicitly REPLICATED on the same mesh: mixing mesh-committed
+        # and single-device-committed arguments in one jit call is an error,
+        # and checkpoint restores return committed arrays.
+        from hcrag_tpu.parallel.mesh import replicated
+
+        repl = replicated(self.mesh)
         self.d_emb = jax.device_put(jnp.asarray(emb_padded), row_sharding(self.mesh))
-        # Feature tables stay replicated but need row padding to match
-        # gathered indices (pad rows never escape the mask, but keep shapes
-        # consistent for safety).
-        self.d_type_ids = jnp.asarray(
-            pad_rows(index.type_ids, n_shards, pad_value=0)[0]
+        self.d_type_ids = jax.device_put(
+            jnp.asarray(pad_rows(index.type_ids, n_shards, pad_value=0)[0]), repl
         )
-        self.d_bits = jnp.asarray(pad_rows(index.entity_bits, n_shards)[0])
-        self.d_counts = jnp.asarray(pad_rows(index.entity_counts, n_shards)[0])
-        self.d_graph_ids = jnp.asarray(
-            pad_rows(index.graph_ids, n_shards, pad_value=-1)[0]
+        self.d_bits = jax.device_put(
+            jnp.asarray(pad_rows(index.entity_bits, n_shards)[0]), repl
         )
-        self._row_valid = jnp.asarray(
-            np.arange(self._n_padded) < n_orig
+        self.d_counts = jax.device_put(
+            jnp.asarray(pad_rows(index.entity_counts, n_shards)[0]), repl
         )
+        self.d_graph_ids = jax.device_put(
+            jnp.asarray(pad_rows(index.graph_ids, n_shards, pad_value=-1)[0]),
+            repl,
+        )
+        self._row_valid = jax.device_put(
+            jnp.asarray(np.arange(self._n_padded) < n_orig), repl
+        )
+        if self.d_neighbors is not None:
+            self.d_neighbors = jax.device_put(self.d_neighbors, repl)
+            self.d_neighbors_hop2 = jax.device_put(self.d_neighbors_hop2, repl)
+            self.d_g_type_ids = jax.device_put(self.d_g_type_ids, repl)
+            self.d_g_row = jax.device_put(self.d_g_row, repl)
 
     def _bank(self):
         bank = super()._bank()
         bank["row_valid"] = self._row_valid
         return bank
+
+    def _put_query_input(self, x):
+        from hcrag_tpu.parallel.mesh import replicated
+
+        return jax.device_put(x, replicated(self.mesh))
 
     def _gather_emb_rows(self, indices, bank):
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -438,10 +438,16 @@ class QueryEngine:
             llm_topk = jnp.asarray(np.asarray(llm_scores, dtype=np.float32))
 
         step = self._step(top_k, expansion_depth, max_expanded, reduction)
+        put = self._put_query_input
         return step(
-            q, q_bits, q_oov, intent_ids, jnp.asarray(w), type_mask,
-            llm_topk, self._bank(),
+            put(q), put(q_bits), put(q_oov), put(intent_ids),
+            put(jnp.asarray(w)), put(type_mask), put(llm_topk), self._bank(),
         )
+
+    def _put_query_input(self, x):
+        """Placement hook for per-query inputs; the sharded engine replicates
+        them on its mesh so committed-device mixing never trips jit."""
+        return x
 
     # Cached device-side constant inputs (avoid re-uploading per call).
     def _true_mask(self):
