@@ -96,16 +96,19 @@ def expand_k_hop(
         nbrs = jnp.where((frontier >= 0)[:, None], nbrs, -1)
         return nbrs.reshape(-1)
 
-    # Hop 1.
-    hop1 = gather_frontier(neighbors, seeds)  # [S*M]
-    candidates = hop1
-    if depth >= 2:
-        # Hop 2 frontier = deduped hop-1 nodes (bounded buffer S*M).
-        hop1_mask = _ordered_unique_mask(hop1, g)
-        hop1_frontier = jnp.where(hop1_mask, hop1, -1)
-        table2 = neighbors if hop2_neighbors is None else hop2_neighbors
-        hop2 = gather_frontier(table2, hop1_frontier)  # [S*M*M2]
-        candidates = jnp.concatenate([hop1, hop2])
+    # Hop 1 over the whitelist table; hops >= 2 over `hop2_neighbors` when
+    # given (the reference's ANNOTATION-only second leg) else the same table.
+    table2 = neighbors if hop2_neighbors is None else hop2_neighbors
+    frontier = seeds
+    hops = []
+    for hop in range(depth):
+        table = neighbors if hop == 0 else table2
+        cand = gather_frontier(table, frontier)  # [F * M_table]
+        hops.append(cand)
+        if hop + 1 < depth:
+            mask = _ordered_unique_mask(cand, g)
+            frontier = jnp.where(mask, cand, -1)
+    candidates = hops[0] if len(hops) == 1 else jnp.concatenate(hops)
 
     keep = _ordered_unique_mask(candidates, g)
     if exclude_seeds:
