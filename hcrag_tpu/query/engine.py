@@ -221,22 +221,47 @@ class QueryEngine:
                 type_mask = jnp.concatenate(
                     [type_mask, jnp.zeros((pad,), dtype=bool)]
                 )
-            # Keep the kernel's VMEM footprint (score block + double-buffered
-            # E tile + candidate accumulators) within ~10 MB of the 16 MB
-            # budget: shrink the tile for big batches / wide dtypes (any
-            # power-of-two divisor of the pre-padded row multiple works).
+            # VMEM budget: q block + score block + double-buffered E tile +
+            # double-buffered candidate blocks must fit ~11 MB of the 16 MB
+            # scoped limit.  Shrink the tile for wide dtypes; past B=1024
+            # split the query batch with lax.map (fixed per-query buffers
+            # alone outgrow VMEM).
             b = q_emb.shape[0]
             ebytes = emb.dtype.itemsize
             d = emb.shape[1]
-            tile = self.pallas_tile_n
+            sub_b = min(b, 1024)
 
             def footprint(t):
-                return 4 * b * t + 2 * t * d * ebytes + 8 * b * 128
+                return (
+                    4 * sub_b * d          # q block
+                    + 4 * sub_b * t        # score block
+                    + 2 * t * d * ebytes   # double-buffered E tile
+                    + 16 * sub_b * 128     # double-buffered val/idx blocks
+                )
 
-            while tile > 512 and footprint(tile) > (10 << 20):
+            tile = self.pallas_tile_n
+            while tile > 512 and footprint(tile) > (11 << 20):
                 tile //= 2
-            return pallas_cosine_top_k(
-                q_emb, emb, type_mask, top_k, tile_n=tile
+
+            if b <= sub_b:
+                return pallas_cosine_top_k(
+                    q_emb, emb, type_mask, top_k, tile_n=tile
+                )
+            pad_b = (-b) % sub_b
+            q_padded = (
+                jnp.pad(q_emb, ((0, pad_b), (0, 0))) if pad_b else q_emb
+            )
+            q_chunks = q_padded.reshape(-1, sub_b, q_emb.shape[1])
+            v, i = jax.lax.map(
+                lambda qc: pallas_cosine_top_k(
+                    qc, emb, type_mask, top_k, tile_n=tile
+                ),
+                q_chunks,
+            )
+            k_eff = v.shape[-1]
+            return (
+                v.reshape(-1, k_eff)[:b],
+                i.reshape(-1, k_eff)[:b],
             )
         if self.quantize_int8:
             from hcrag_tpu.ops.quantize import (
