@@ -55,14 +55,18 @@ def run_direct():
     t0 = time.time()
     index, graph = _synthetic_setup(n, dim, graph_degree=4)
     emb_f32 = np.asarray(index.emb, dtype=np.float32)  # host copy for checks
-    if dtype == "bfloat16":
+    quantize_int8 = dtype == "int8"
+    if dtype == "bfloat16" or quantize_int8:
         import ml_dtypes
 
         index.emb = emb_f32.astype(ml_dtypes.bfloat16)
     log(f"index built in {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    engine = QueryEngine(index, graph, ell_max_degree=8, use_pallas=use_pallas)
+    engine = QueryEngine(
+        index, graph, ell_max_degree=8, use_pallas=use_pallas,
+        quantize_int8=quantize_int8,
+    )
     log(
         f"engine init (device transfer) in {time.time() - t0:.1f}s "
         f"(pallas={use_pallas})"

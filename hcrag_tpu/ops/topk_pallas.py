@@ -87,6 +87,118 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _topk_tile_kernel_int8(
+    q_ref,        # [B, D] int8
+    q_scale_ref,  # [B, 1] f32
+    e_ref,        # [TILE, D] int8
+    e_scale_ref,  # [1, TILE] f32
+    mask_ref,     # [1, TILE] int32
+    vals_ref,
+    idxs_ref,
+    *,
+    k: int,
+    k_pad: int,
+):
+    """Int8 variant: MXU int8xint8->int32 matmul + rank-1 rescale + the same
+    in-VMEM iterative top-k.  Index bytes halve vs bf16 (the E read is the
+    throughput floor at large N)."""
+    tile = pl.program_id(0)
+    tile_n = e_ref.shape[0]
+    b = q_ref.shape[0]
+
+    int_scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [B, TILE]
+    scores = (
+        int_scores.astype(jnp.float32)
+        * q_scale_ref[:, 0][:, None]
+        * e_scale_ref[0, :][None, :]
+    )
+    scores = jnp.where(mask_ref[0, :][None, :] != 0, scores, NEG_INF)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    base = tile * tile_n
+    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
+    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+    for j in range(k):
+        best = jnp.max(scores, axis=1)
+        is_best = scores == best[:, None]
+        first_best = jnp.min(jnp.where(is_best, col_ids, tile_n), axis=1)
+        sel = slot_ids == j
+        vals_acc = jnp.where(sel, best[:, None], vals_acc)
+        idxs_acc = jnp.where(sel, (first_best + base)[:, None], idxs_acc)
+        scores = jnp.where(col_ids == first_best[:, None], NEG_INF, scores)
+    vals_ref[:] = vals_acc
+    idxs_ref[:] = idxs_acc
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "tile_n", "interpret"))
+def pallas_cosine_top_k_int8(
+    query_emb: jnp.ndarray,   # [B, D] f32 (normalized)
+    e_int8: jnp.ndarray,      # [N, D] int8
+    e_scale: jnp.ndarray,     # [N] f32
+    valid_mask: jnp.ndarray,  # [N] bool
+    top_k: int,
+    *,
+    tile_n: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused int8 cosine + top-k (see `_topk_tile_kernel_int8`)."""
+    from hcrag_tpu.ops.quantize import quantize_queries
+
+    b, d = query_emb.shape
+    n = e_int8.shape[0]
+    assert d % 128 == 0
+    k = min(top_k, n)
+
+    n_pad = _round_up(n, tile_n)
+    if n_pad != n:
+        e_int8 = jnp.pad(e_int8, ((0, n_pad - n), (0, 0)))
+        e_scale = jnp.pad(e_scale, (0, n_pad - n))
+        valid_mask = jnp.pad(valid_mask, (0, n_pad - n))
+    num_tiles = n_pad // tile_n
+    mask_2d = valid_mask.astype(jnp.int32).reshape(1, n_pad)
+    scale_2d = e_scale.astype(jnp.float32).reshape(1, n_pad)
+    k_pad = 128
+    b_pad = _round_up(b, 32)  # int8 sublane multiple
+    if b_pad != b:
+        query_emb = jnp.pad(query_emb, ((0, b_pad - b), (0, 0)))
+    qi, qs = quantize_queries(query_emb.astype(jnp.float32))
+
+    kernel = functools.partial(_topk_tile_kernel_int8, k=k, k_pad=k_pad)
+    grid_spec = pl.GridSpec(
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+    )
+    vals, idxs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, num_tiles * k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, num_tiles * k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qi, qs.reshape(b_pad, 1), e_int8, scale_2d, mask_2d)
+
+    out_v, pos = jax.lax.top_k(vals[:b], k)
+    out_i = jnp.take_along_axis(idxs[:b], pos, axis=1)
+    return out_v, out_i
+
+
 @functools.partial(
     jax.jit, static_argnames=("top_k", "tile_n", "interpret")
 )

@@ -94,19 +94,22 @@ class QueryEngine:
     ):
         self.index = index
         self.graph = graph
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            backend = "cpu"
+        on_tpu = backend in ("tpu", "axon")
         if use_pallas is None:
             # Default to the fused Pallas kernel on TPU backends: measured
             # 19x faster than the XLA matmul+top-k pipeline (5.5 ms vs
             # 106 ms per 512-query batch at 250k rows — benchmarks/ablation).
-            try:
-                backend = jax.default_backend()
-            except RuntimeError:
-                backend = "cpu"
             use_pallas = (
-                backend in ("tpu", "axon")
-                and index.dim % 128 == 0
-                and not quantize_int8
+                on_tpu and index.dim % 128 == 0 and not quantize_int8
             )
+        #: int8 index + TPU -> the fused int8 kernel (halved E-read bytes).
+        self._int8_pallas = (
+            quantize_int8 and on_tpu and index.dim % 128 == 0
+        )
         self.use_pallas = use_pallas
         self.pallas_tile_n = pallas_tile_n
         self.quantize_int8 = quantize_int8
@@ -269,6 +272,35 @@ class QueryEngine:
                 quantized_scores,
                 streaming_quantized_top_k,
             )
+
+            if self._int8_pallas:
+                from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k_int8
+
+                e8 = bank["emb_int8"]
+                pad = e8.shape[0] - type_mask.shape[0]
+                if pad:
+                    type_mask = jnp.concatenate(
+                        [type_mask, jnp.zeros((pad,), dtype=bool)]
+                    )
+                b = q_emb.shape[0]
+                sub_b = min(b, 1024)
+                if b <= sub_b:
+                    return pallas_cosine_top_k_int8(
+                        q_emb, e8, bank["emb_scale"], type_mask, top_k
+                    )
+                pad_b = (-b) % sub_b
+                q_padded = (
+                    jnp.pad(q_emb, ((0, pad_b), (0, 0))) if pad_b else q_emb
+                )
+                q_chunks = q_padded.reshape(-1, sub_b, q_emb.shape[1])
+                v, i = jax.lax.map(
+                    lambda qc: pallas_cosine_top_k_int8(
+                        qc, e8, bank["emb_scale"], type_mask, top_k
+                    ),
+                    q_chunks,
+                )
+                k_eff = v.shape[-1]
+                return v.reshape(-1, k_eff)[:b], i.reshape(-1, k_eff)[:b]
 
             if bank["emb_int8"].shape[0] > (1 << 18):
                 return streaming_quantized_top_k(
