@@ -284,9 +284,18 @@ class QueryEngine:
                     )
                 b = q_emb.shape[0]
                 sub_b = min(b, 1024)
+                d = e8.shape[1]
+                # int32 + f32 score buffers both live: 8 bytes per element.
+                tile = self.pallas_tile_n
+                while tile > 512 and (
+                    8 * sub_b * tile + sub_b * d + 2 * tile * d
+                    + 16 * sub_b * 128
+                ) > (10 << 20):
+                    tile //= 2
                 if b <= sub_b:
                     return pallas_cosine_top_k_int8(
-                        q_emb, e8, bank["emb_scale"], type_mask, top_k
+                        q_emb, e8, bank["emb_scale"], type_mask, top_k,
+                        tile_n=tile,
                     )
                 pad_b = (-b) % sub_b
                 q_padded = (
@@ -295,7 +304,8 @@ class QueryEngine:
                 q_chunks = q_padded.reshape(-1, sub_b, q_emb.shape[1])
                 v, i = jax.lax.map(
                     lambda qc: pallas_cosine_top_k_int8(
-                        qc, e8, bank["emb_scale"], type_mask, top_k
+                        qc, e8, bank["emb_scale"], type_mask, top_k,
+                        tile_n=tile,
                     ),
                     q_chunks,
                 )
