@@ -283,9 +283,11 @@ class QueryEngine:
                         [type_mask, jnp.zeros((pad,), dtype=bool)]
                     )
                 b = q_emb.shape[0]
-                sub_b = min(b, 1024)
+                # Smaller sub-batches keep the tile at 2048 (fewer grid
+                # steps beats a bigger query block: int32 + f32 score
+                # buffers cost 8 bytes/element).
+                sub_b = min(b, 512)
                 d = e8.shape[1]
-                # int32 + f32 score buffers both live: 8 bytes per element.
                 tile = self.pallas_tile_n
                 while tile > 512 and (
                     8 * sub_b * tile + sub_b * d + 2 * tile * d
