@@ -91,6 +91,7 @@ class QueryEngine:
         use_pallas: Optional[bool] = None,
         pallas_tile_n: int = 2048,
         quantize_int8: bool = False,
+        int8_only: bool = False,
     ):
         self.index = index
         self.graph = graph
@@ -134,10 +135,14 @@ class QueryEngine:
             q8, scale = quantize_rows(emb_host.astype(np.float32))
             self.d_emb_int8 = put(jnp.asarray(q8))
             self.d_emb_scale = put(jnp.asarray(scale))
-            # Keep a bf16 copy only for expanded-node scoring gathers (small
-            # gathers; dominated by the int8 matmul savings).  For extreme
-            # memory pressure pass a pre-bf16 index and it is reused as-is.
-            self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
+            if int8_only:
+                # Maximum-density mode (10M rows on one chip): no bf16 copy;
+                # expanded-node scoring dequantizes gathered int8 rows.
+                self.d_emb = None
+            else:
+                # bf16 copy for expanded-node scoring gathers (small gathers;
+                # dominated by the int8 matmul savings).
+                self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
         else:
             self.d_emb_int8 = None
             self.d_emb_scale = None
@@ -187,12 +192,13 @@ class QueryEngine:
         lower to parameters; identical arrays on every call hit the same
         jit cache entry."""
         bank = {
-            "emb": self.d_emb,
             "type_ids": self.d_type_ids,
             "bits": self.d_bits,
             "counts": self.d_counts,
             "graph_ids": self.d_graph_ids,
         }
+        if self.d_emb is not None:
+            bank["emb"] = self.d_emb
         if self.quantize_int8:
             bank["emb_int8"] = self.d_emb_int8
             bank["emb_scale"] = self.d_emb_scale
@@ -206,7 +212,11 @@ class QueryEngine:
     def _gather_emb_rows(self, indices, bank):
         """Gather embedding rows at arbitrary indices ([..., D]).  Overridden
         by the sharded engine: a gather from a row-sharded table needs an
-        explicit replicated out-sharding (XLA inserts the collective)."""
+        explicit replicated out-sharding (XLA inserts the collective).  In
+        int8-only mode, gathered rows dequantize on the fly."""
+        if "emb" not in bank:
+            rows = bank["emb_int8"][indices].astype(jnp.float32)
+            return rows * bank["emb_scale"][indices][..., None]
         return bank["emb"][indices]
 
     def _topk_impl(self, q_emb, type_mask, top_k: int, bank):
@@ -215,7 +225,7 @@ class QueryEngine:
 
         With `use_pallas=True` the Pallas fused kernel streams index tiles
         through VMEM and never materializes the [B, N] score matrix."""
-        emb = bank["emb"]
+        emb = bank.get("emb")
         if self.use_pallas:
             from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k
 
@@ -521,7 +531,12 @@ class QueryEngine:
     # Cached device-side constant inputs (avoid re-uploading per call).
     def _true_mask(self):
         if not hasattr(self, "_d_true_mask"):
-            self._d_true_mask = jnp.ones((self.d_emb.shape[0],), dtype=bool)
+            n = (
+                self.d_emb.shape[0]
+                if self.d_emb is not None
+                else self.d_emb_int8.shape[0]
+            )
+            self._d_true_mask = jnp.ones((n,), dtype=bool)
         return self._d_true_mask
 
     def _zeros_i32(self, b):
