@@ -235,3 +235,19 @@ class TestExpansion:
         count = int(res.expanded_counts[0])
         scores = res.expanded_relevance[0][:count]
         assert ((scores >= 0) & (scores <= 1)).all()
+
+
+class TestDepth3Expansion:
+    def test_three_hop_reaches_chain(self, engine):
+        # Use a synthetic chain graph to verify depth-3 reachability.
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.expand import expand_k_hop
+
+        nbrs = np.full((8, 1), -1, np.int32)
+        for i in range(7):
+            nbrs[i, 0] = i + 1
+        seeds = jnp.asarray(np.array([0, -1], np.int32))
+        out, count = expand_k_hop(jnp.asarray(nbrs), seeds, depth=3, max_nodes=8)
+        got = set(np.asarray(out)[: int(count)].tolist())
+        assert {1, 2, 3} <= got

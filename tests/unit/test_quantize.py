@@ -72,3 +72,39 @@ class TestQuantize:
             category_filter="anything",
         )
         assert all(100 <= int(x) < 200 for x in r.top_indices[0])
+
+
+class TestInt8Only:
+    def test_int8_only_mode_no_bf16_copy(self):
+        idx = synthetic_dense_index(2000, 64, seed=3)
+        e = QueryEngine(idx, None, quantize_int8=True, int8_only=True)
+        assert e.d_emb is None
+        q = np.asarray(idx.emb[5], np.float32)
+        r = e.query_batch(q, top_k=5)
+        assert r.top_indices[0][0] == 5
+
+    def test_int8_only_with_graph_expansion(self):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.core.graph import CsrGraph
+        from hcrag_tpu.core.types import edge_type_id
+
+        idx = synthetic_dense_index(512, 64, seed=4)
+        src = np.arange(511)
+        dst = np.arange(1, 512)
+        g = CsrGraph.from_edges(
+            512, src, dst, np.full(511, edge_type_id("DESCRIBED_BY")),
+            node_labels=["Product"] * 512,
+            node_keys=list(range(512)),
+            node_texts=[f"n{i}" for i in range(512)],
+            node_to_row=np.arange(512, dtype=np.int32),
+        )
+        idx.graph_ids = np.arange(512, dtype=np.int32)
+        e = QueryEngine(idx, g, quantize_int8=True, int8_only=True)
+        q = np.asarray(idx.emb[10], np.float32)
+        r = e.query_batch(q, top_k=3, expansion_depth=1)
+        count = int(r.expanded_counts[0])
+        assert count > 0
+        # expanded scores come from dequantized int8 gathers, bounded [0,1]
+        scores = r.expanded_relevance[0][:count]
+        assert ((scores >= 0) & (scores <= 1 + 1e-6)).all()
