@@ -19,7 +19,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 
 DEFAULT_DATA = "/root/reference/data"

@@ -17,11 +17,7 @@ import dataclasses
 import os
 from typing import Optional
 
-from hcrag_tpu.core.types import (
-    DEFAULT_COMPOSITE_WEIGHTS,
-    CompositeWeights,
-    ScorerType,
-)
+from hcrag_tpu.core.types import CompositeWeights, ScorerType
 
 # --- retrieval defaults (reference values, see SURVEY §6) -------------------
 DEFAULT_TOP_K = 5  # main.py:790

@@ -19,9 +19,8 @@ contract:
 
 from __future__ import annotations
 
-import hashlib
 import re
-from typing import List, Protocol, Sequence
+from typing import List, Optional, Protocol, Sequence
 
 import numpy as np
 
