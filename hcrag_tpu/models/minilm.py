@@ -124,6 +124,63 @@ class SimpleTokenizer:
         return ids, mask
 
 
+class WordPieceTokenizer:
+    """Greedy longest-match-first WordPiece (BERT tokenization) over a real
+    vocab.txt — drop this in when the MiniLM vocabulary is available locally
+    and token ids match HuggingFace's BertTokenizer for standard text."""
+
+    def __init__(self, vocab_path: str, max_len: int = 128, lowercase: bool = True):
+        self.vocab = {}
+        with open(vocab_path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                self.vocab[line.rstrip("\n")] = i
+        self.max_len = max_len
+        self.lowercase = lowercase
+        self.cls_id = self.vocab.get("[CLS]", 101)
+        self.sep_id = self.vocab.get("[SEP]", 102)
+        self.unk_id = self.vocab.get("[UNK]", 100)
+        self.vocab_size = len(self.vocab)
+
+    def _wordpiece(self, word: str):
+        if word in self.vocab:
+            return [self.vocab[word]]
+        pieces = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            piece_id = None
+            while end > start:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    piece_id = self.vocab[sub]
+                    break
+                end -= 1
+            if piece_id is None:
+                return [self.unk_id]
+            pieces.append(piece_id)
+            start = end
+        return pieces
+
+    def encode_batch(self, texts: Sequence[str]):
+        ids = np.zeros((len(texts), self.max_len), dtype=np.int32)
+        mask = np.zeros((len(texts), self.max_len), dtype=np.int32)
+        for i, text in enumerate(texts):
+            if self.lowercase:
+                text = text.lower()
+            row = [self.cls_id]
+            for word in _WORD_RE.findall(text):
+                row.extend(self._wordpiece(word))
+                if len(row) >= self.max_len - 1:
+                    break
+            row = row[: self.max_len - 1]
+            row.append(self.sep_id)
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        return ids, mask
+
+
 class FlaxMiniLMEmbedder:
     """Batched on-device text embedder with the MiniLM architecture."""
 
