@@ -87,6 +87,68 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _topk_tile_kernel_packed(
+    q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *, k: int, k_pad: int
+):
+    """Packed-select variant: score bits and the lane index share one uint32,
+    so each selection pass is a single max-reduce + one mask op (vs
+    max + eq + min-index + mask in the exact kernel) — ~2x fewer VPU passes.
+
+    Encoding: scores lie in [-1-eps, 1+eps]; score+2 is positive, so its f32
+    bit pattern is monotone.  The low 11 bits are replaced by (2047 - lane),
+    making ties resolve to the LOWEST index under max.  Costs ~2^-11 relative
+    score quantization (comparable to bf16 input rounding); use the exact
+    kernel when bit-exact scores matter.
+    """
+    tile = pl.program_id(0)
+    tile_n = e_ref.shape[0]
+    b = q_ref.shape[0]
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if e_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(e_ref.dtype),
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    col_ids = jax.lax.broadcasted_iota(jnp.uint32, (b, tile_n), 1)
+
+    shifted = scores + 2.0  # positive -> monotone f32 bit pattern
+    bits = pltpu.bitcast(shifted, jnp.uint32) & jnp.uint32(0xFFFFF800)
+    packed = bits | (jnp.uint32(2047) - col_ids)
+    # invalid rows -> 0 (smaller than any valid packed value)
+    packed = jnp.where(mask_ref[0, :][None, :] != 0, packed, jnp.uint32(0))
+
+    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
+    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+    base = tile * tile_n
+    for j in range(k):
+        best = jnp.max(packed, axis=1)  # [b] single reduce
+        lane = (jnp.uint32(2047) - (best & jnp.uint32(0x7FF))).astype(jnp.int32)
+        val = pltpu.bitcast(
+            (best & jnp.uint32(0xFFFFF800))[:, None], jnp.float32
+        )[:, 0] - 2.0
+        valid = best != 0
+        sel = slot_ids == j
+        vals_acc = jnp.where(
+            sel, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
+        )
+        idxs_acc = jnp.where(
+            sel,
+            jnp.where(valid, lane + base, -1)[:, None],
+            idxs_acc,
+        )
+        packed = jnp.where(packed == best[:, None], jnp.uint32(0), packed)
+    vals_ref[:] = vals_acc
+    idxs_ref[:] = idxs_acc
+
+
 def _topk_tile_kernel_int8(
     q_ref,        # [B, D] int8
     q_scale_ref,  # [B, 1] f32
@@ -200,7 +262,7 @@ def pallas_cosine_top_k_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "tile_n", "interpret")
+    jax.jit, static_argnames=("top_k", "tile_n", "interpret", "packed_select")
 )
 def pallas_cosine_top_k(
     query_emb: jnp.ndarray,
@@ -210,6 +272,7 @@ def pallas_cosine_top_k(
     *,
     tile_n: int = 2048,
     interpret: bool = False,
+    packed_select: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused cosine + top-k over a (normalized) index.
 
@@ -242,7 +305,11 @@ def pallas_cosine_top_k(
     if b_pad != b:
         query_emb = jnp.pad(query_emb, ((0, b_pad - b), (0, 0)))
 
-    kernel = functools.partial(_topk_tile_kernel, k=k, k_pad=k_pad)
+    kernel_fn = (
+        _topk_tile_kernel_packed if packed_select else _topk_tile_kernel
+    )
+    assert not (packed_select and tile_n > 2048), "packed lane field is 11 bits"
+    kernel = functools.partial(kernel_fn, k=k, k_pad=k_pad)
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[

@@ -96,3 +96,29 @@ class TestPallasTopK:
         for row in range(2):
             overlap = len(set(np.asarray(i)[row]) & set(ref_i[row]))
             assert overlap >= 9
+
+
+class TestPackedSelectExperimental:
+    """packed_select trades ~2x selection cost for 2^-11 score quantization;
+    EXPERIMENTAL (off by default) — set membership may drop near-ties."""
+
+    def test_high_overlap_and_bounded_value_error(self):
+        import jax.numpy as jnp
+
+        q, e = _setup(5000, 128, 4, seed=9)
+        mask = np.ones(5000, bool)
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10,
+            tile_n=1024, interpret=True, packed_select=True,
+        )
+        scores = q @ e.T
+        ref = np.argsort(-scores, axis=1, kind="stable")[:, :10]
+        overlap = np.mean(
+            [len(set(np.asarray(i)[r]) & set(ref[r])) / 10 for r in range(4)]
+        )
+        assert overlap >= 0.85
+        err = np.abs(
+            np.asarray(v) - np.take_along_axis(scores, ref, 1)
+        )
+        # value error bounded by the 11-bit mantissa quantization
+        assert err.max() < 2e-3
