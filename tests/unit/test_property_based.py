@@ -1,0 +1,163 @@
+"""Property-based tests: device kernels vs pure-Python oracles.
+
+Hypothesis generates random graphs / entity sets / score matrices; the
+static-shape device ops must match straightforward Python reference
+implementations on every draw.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import jax.numpy as jnp
+
+from hcrag_tpu.core.types import (
+    PRIORITY_MATRIX,
+    CompositeWeights,
+    ScorerType,
+    scorer_spec,
+)
+from hcrag_tpu.core.vocab import EntityVocab
+from hcrag_tpu.ops.expand import expand_k_hop
+from hcrag_tpu.ops.scoring import combine_metrics, entity_match_scores
+
+SETTINGS = settings(max_examples=25, deadline=None)
+
+
+def python_bfs_reference(neighbors, seeds, depth, max_nodes):
+    """Discovery-ordered BFS oracle matching expand_k_hop's contract."""
+    discovered = []
+    seen = set()
+    frontier = [s for s in seeds if s >= 0]
+    for _ in range(depth):
+        next_frontier = []
+        for node in frontier:
+            for nb in neighbors[node]:
+                if nb < 0:
+                    continue
+                if nb not in seen:
+                    seen.add(nb)
+                    discovered.append(nb)
+                    next_frontier.append(nb)
+                else:
+                    # revisits don't re-enter the frontier (dedup) but the
+                    # kernel's frontier dedup is per-hop over candidates:
+                    pass
+        frontier = next_frontier
+    return discovered[:max_nodes]
+
+
+class TestExpansionProperties:
+    @SETTINGS
+    @given(
+        st.integers(min_value=5, max_value=40),  # nodes
+        st.integers(min_value=1, max_value=4),   # degree
+        st.integers(min_value=1, max_value=2),   # depth
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_matches_python_bfs(self, g, deg, depth, seed):
+        rng = np.random.default_rng(seed)
+        neighbors = rng.integers(-1, g, size=(g, deg)).astype(np.int32)
+        seeds = np.full(4, -1, np.int32)
+        n_seeds = rng.integers(1, 4)
+        seeds[:n_seeds] = rng.integers(0, g, size=n_seeds)
+        max_nodes = int(rng.integers(1, 16))
+
+        out, count = expand_k_hop(
+            jnp.asarray(neighbors), jnp.asarray(seeds),
+            depth=int(depth), max_nodes=max_nodes,
+        )
+        got = np.asarray(out)[: int(count)].tolist()
+        expected = python_bfs_reference(
+            neighbors, seeds.tolist(), int(depth), max_nodes
+        )
+        assert got == expected
+
+    @SETTINGS
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    def test_count_matches_padding(self, seed):
+        rng = np.random.default_rng(seed)
+        g = 20
+        neighbors = rng.integers(-1, g, size=(g, 3)).astype(np.int32)
+        seeds = jnp.asarray(rng.integers(0, g, size=3).astype(np.int32))
+        out, count = expand_k_hop(jnp.asarray(neighbors), seeds,
+                                  depth=1, max_nodes=10)
+        out = np.asarray(out)
+        c = int(count)
+        assert (out[:c] >= 0).all()
+        assert (out[c:] == -1).all()
+
+
+class TestEntityMatchProperties:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("abcdefgh"), max_size=5).map(
+                lambda cs: ["".join([c]) for c in cs]
+            ),
+            min_size=1, max_size=8,
+        ),
+        st.lists(st.sampled_from("abcdefghij"), max_size=6).map(
+            lambda cs: ["".join([c]) for c in cs]
+        ),
+    )
+    def test_matches_set_arithmetic(self, node_entity_lists, query_entities):
+        vocab = EntityVocab.build(node_entity_lists)
+        nb, _ = vocab.encode_batch(node_entity_lists)
+        qb, oov = vocab.encode(query_entities)
+        out = np.asarray(
+            entity_match_scores(
+                jnp.asarray(qb), jnp.asarray(nb), query_oov=np.int32(oov)
+            )
+        )
+        qset = set(e.strip().lower() for e in query_entities if e.strip())
+        for score, entities in zip(out, node_entity_lists):
+            nset = set(e.strip().lower() for e in entities if e.strip())
+            if not qset:
+                expected = 0.5 if not nset else 0.1
+            else:
+                expected = len(qset & nset) / len(qset)
+            assert score == pytest.approx(expected, abs=1e-6)
+
+
+class TestScorerProperties:
+    @SETTINGS
+    @given(
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_all_strategies_bounded_and_consistent(self, n, seed):
+        rng = np.random.default_rng(seed)
+        metrics = rng.uniform(0, 1, (n, 4)).astype(np.float32)
+        for scorer in ScorerType:
+            w, reduction = scorer_spec(scorer, None)
+            out = np.asarray(
+                combine_metrics(jnp.asarray(metrics), jnp.asarray(w), reduction)
+            )
+            assert out.shape == (n,)
+            assert (out >= -1e-6).all() and (out <= 1 + 1e-6).all()
+            # PARALLEL dominates every weighted average with weights summing
+            # to <= 1 over the same metrics.
+            if scorer == ScorerType.PARALLEL:
+                par = out
+        comp = np.asarray(
+            combine_metrics(
+                jnp.asarray(metrics),
+                jnp.asarray(scorer_spec(ScorerType.COMPOSITE, None)[0]),
+                0,
+            )
+        )
+        assert (par >= comp - 1e-6).all()
+
+    @SETTINGS
+    @given(
+        st.floats(min_value=0.0, max_value=1.0),
+        st.floats(min_value=0.0, max_value=1.0),
+        st.floats(min_value=0.0, max_value=1.0),
+    )
+    def test_weight_validation_total(self, a, b, c):
+        d = 1.0 - (a + b + c)
+        if d < 0 or d > 1:
+            return
+        # any non-negative 4-tuple summing to 1 must validate
+        CompositeWeights(a, b, c, d)
