@@ -111,6 +111,8 @@ class QueryEngine:
         self._int8_pallas = (
             quantize_int8 and on_tpu and index.dim % 128 == 0
         )
+        if quantize_int8:
+            use_pallas = False  # the f32/bf16 kernel has no int8 operands
         self.use_pallas = use_pallas
         self.pallas_tile_n = pallas_tile_n
         self.quantize_int8 = quantize_int8
