@@ -75,7 +75,7 @@ def cmd_query(args):
 
 def cmd_repl(args):
     engine = _load_engine(args)
-    print("hcrag interactive query REPL. Commands: ':quit', ':stats',")
+    print("hcrag interactive query REPL. Commands: ':quit', ':stats', ':suggest',")
     print("':filter <type>' (database_table/json_table/pdf_document), ':nofilter'")
     category = None
     while True:
@@ -89,6 +89,10 @@ def cmd_repl(args):
             break
         if line == ":stats":
             print(engine.get_content_statistics())
+            continue
+        if line == ":suggest":
+            for s in engine.suggest_queries():
+                print(f"  - {s}")
             continue
         if line.startswith(":filter "):
             category = line.split(None, 1)[1]

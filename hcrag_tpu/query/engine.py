@@ -710,6 +710,49 @@ class QueryEngine:
     def get_content_statistics(self) -> Dict:
         return self.index.content_statistics()
 
+    def suggest_queries(self, limit: int = 8) -> List[str]:
+        """Content-derived query suggestions (query_interface.py:364-393):
+        samples product names, categories and documents from the graph and
+        templates natural-language starters."""
+        suggestions: List[str] = []
+        if self.graph is not None:
+            products = [
+                str(self.graph.node_texts[i]).split(" |")[0]
+                for i, lbl in enumerate(self.graph.node_labels)
+                if lbl == "Product"
+            ]
+            categories = [
+                str(self.graph.node_texts[i])
+                for i, lbl in enumerate(self.graph.node_labels)
+                if lbl == "Category"
+            ]
+            documents = [
+                str(self.graph.node_texts[i])
+                for i, lbl in enumerate(self.graph.node_labels)
+                if lbl == "Document"
+            ]
+            if products:
+                suggestions.append(f"Find products similar to {products[0]}")
+                if len(products) > 1:
+                    suggestions.append(
+                        f"Compare {products[0]} and {products[1]}"
+                    )
+            if categories:
+                suggestions.append(f"Show me {categories[0]} products")
+            if documents:
+                suggestions.append(f"Show me the {documents[0]} document")
+                suggestions.append(
+                    f"What does the {documents[0]} documentation say?"
+                )
+        suggestions.extend(
+            [
+                "What products are under $500?",
+                "Show me technical specifications",
+                "What documents are available?",
+            ]
+        )
+        return suggestions[:limit]
+
     # ------------------------------------------------------------------
     # On-device query encoding (optional)
     # ------------------------------------------------------------------
