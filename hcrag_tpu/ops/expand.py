@@ -137,12 +137,14 @@ def expand_batch(
     depth: int = 1,
     max_nodes: int = 20,
     exclude_seeds: bool = False,
+    hop2_neighbors: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """vmapped expansion for a batch of seed sets ([B, S] -> [B, max_nodes])."""
     fn = functools.partial(
         expand_k_hop,
         depth=depth,
         max_nodes=max_nodes,
+        hop2_neighbors=hop2_neighbors,
         exclude_seeds=exclude_seeds,
     )
     return jax.vmap(lambda s: fn(neighbors, s))(seed_batch)
