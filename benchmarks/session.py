@@ -85,6 +85,8 @@ def main():
     parser.add_argument("--out", default="benchmarks/results.json")
     parser.add_argument("--batch", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--extended", action="store_true",
+                        help="also run int8 / deep-expansion / serving configs")
     args = parser.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -155,6 +157,41 @@ def main():
             results["synthetic_1M_pallas"] = {
                 "recall_at_10": recall_p, "qps": qps_p,
             }
+
+    # --- extended configs (int8, deep expansion, serving) -------------------
+    if args.extended and "c" not in skip:
+        with timed("int8 engine init"):
+            engine_i8 = QueryEngine(
+                index, graph, ell_max_degree=8, quantize_int8=True
+            )
+        recall_i8 = recall_gate(engine_i8, emb_f32, queries)
+        qps_i8 = throughput(
+            engine_i8, queries, steps=args.steps, label="int8 n=1M"
+        )
+        results["synthetic_1M_int8"] = {
+            "recall_at_10": recall_i8, "qps": qps_i8,
+        }
+
+        q64 = queries[:64]
+        with timed("config4 top100 depth3"):
+            qps_c4 = throughput(
+                engine, q64, top_k=100, depth=3, steps=5,
+                label="config4 n=1M top100 d3",
+            )
+        results["synthetic_1M_top100_depth3"] = {"qps": qps_c4, "batch": 64}
+
+        from hcrag_tpu.query.executor import BatchedExecutor
+
+        ex = BatchedExecutor(engine, batch_size=256, top_k=10)
+        f = ex.submit(queries[0])
+        f.result(timeout=600)
+        t0 = time.time()
+        futs = [ex.submit(q) for q in queries[:2048]]
+        _ = [f.result(timeout=600) for f in futs]
+        rps = 2048 / (time.time() - t0)
+        ex.shutdown()
+        log(f"[serving] {rps:.0f} single-query req/s")
+        results["serving_executor_1M"] = {"single_query_requests_per_s": rps}
 
     # --- E: index build time -------------------------------------------------
     if "e" not in skip:
