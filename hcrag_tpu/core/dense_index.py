@@ -201,6 +201,65 @@ class DenseIndex:
             generation_info=meta.get("generation_info", {}),
         )
 
+    # --- incremental updates (beyond the reference, which rebuilds) --------
+    def append(
+        self,
+        embeddings: np.ndarray,
+        metadata: Sequence[dict],
+        texts: Sequence[str],
+        *,
+        graph_ids: Optional[np.ndarray] = None,
+        entity_extractor: Callable[[str], List[str]] = extract_entities_from_content,
+    ) -> "DenseIndex":
+        """Append rows in place (host arrays).  New entities must already be
+        in the vocabulary (out-of-vocab entities simply never match, like OOV
+        query entities).  Call `QueryEngine.refresh_index()` afterwards to
+        re-upload the device bank."""
+        emb = np.asarray(embeddings, dtype=np.float32)
+        n_new = emb.shape[0]
+        assert len(metadata) == n_new and len(texts) == n_new
+        entity_lists = [entity_extractor(t) for t in texts]
+        bits, _ = self.vocab.encode_batch(entity_lists)
+        counts = np.sum(
+            np.unpackbits(bits.view(np.uint8), axis=1), axis=1
+        ).astype(np.int32)
+        type_ids = np.array(
+            [node_type_id(metadata_node_type(m)) for m in metadata],
+            dtype=np.int32,
+        )
+        if graph_ids is None:
+            graph_ids = np.full(n_new, -1, dtype=np.int32)
+
+        own_dtype = np.asarray(self.emb).dtype
+        self.emb = np.concatenate(
+            [np.asarray(self.emb), _normalize_rows(emb).astype(own_dtype)]
+        )
+        self.type_ids = np.concatenate([self.type_ids, type_ids])
+        self.entity_bits = np.concatenate([self.entity_bits, bits])
+        self.entity_counts = np.concatenate([self.entity_counts, counts])
+        self.graph_ids = np.concatenate(
+            [self.graph_ids, np.asarray(graph_ids, dtype=np.int32)]
+        )
+        self.metadata.extend(metadata)
+        self.texts.extend(texts)
+        if hasattr(self, "_row_by_meta_id"):
+            del self._row_by_meta_id  # invalidate the lazy lookup map
+        return self
+
+    def delete_rows(self, rows: Sequence[int]) -> np.ndarray:
+        """Tombstone rows: returns a validity mask excluding them.  Rows stay
+        in the arrays (static device shapes); pass the mask to queries or AND
+        it into the engine's type masks.  Compact by rebuilding when the
+        tombstone fraction grows."""
+        mask = np.ones(self.n, dtype=bool)
+        mask[np.asarray(list(rows), dtype=np.int64)] = False
+        return mask
+
+    def mask_where(self, predicate: Callable[[dict], bool]) -> np.ndarray:
+        """Arbitrary metadata-predicate row mask (generalizes the
+        `search_by_category` content-type prefilter, main.py:871-879)."""
+        return np.array([bool(predicate(m)) for m in self.metadata], dtype=bool)
+
     # --- statistics (main.py:907-926 / embedding_generator.py:449-465) -----
     def content_statistics(self) -> Dict:
         stats: Dict = {

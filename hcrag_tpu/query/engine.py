@@ -707,6 +707,38 @@ class QueryEngine:
             intent=infer_query_intent(query),
         )
 
+    def refresh_index(self) -> None:
+        """Re-upload the device bank after `DenseIndex.append` (or other
+        host-side index mutation) and drop compiled steps (shapes changed)."""
+        index = self.index
+        emb_host = np.asarray(index.emb)
+        self._n_rows = emb_host.shape[0]
+        if self.use_pallas and emb_host.shape[0] % self.pallas_tile_n:
+            pad = self.pallas_tile_n - emb_host.shape[0] % self.pallas_tile_n
+            emb_host = np.pad(emb_host, ((0, pad), (0, 0)))
+        if self.quantize_int8:
+            from hcrag_tpu.ops.quantize import quantize_rows
+
+            q8, scale = quantize_rows(emb_host.astype(np.float32))
+            self.d_emb_int8 = jnp.asarray(q8)
+            self.d_emb_scale = jnp.asarray(scale)
+            self.d_emb = (
+                None
+                if self.d_emb is None
+                else jnp.asarray(emb_host).astype(jnp.bfloat16)
+            )
+        else:
+            self.d_emb = jnp.asarray(emb_host)
+        self.d_type_ids = jnp.asarray(index.type_ids)
+        self.d_bits = jnp.asarray(index.entity_bits)
+        self.d_counts = jnp.asarray(index.entity_counts)
+        self.d_graph_ids = jnp.asarray(index.graph_ids)
+        self._step_cache.clear()
+        for cache_attr in ("_d_true_mask", "_d_zero_i32", "_d_zero_f32",
+                           "_d_zero_bits"):
+            if hasattr(self, cache_attr):
+                delattr(self, cache_attr)
+
     def get_content_statistics(self) -> Dict:
         return self.index.content_statistics()
 

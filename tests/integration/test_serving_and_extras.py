@@ -130,3 +130,48 @@ class TestTextIngestion:
         native_out = emb.encode(texts)
         py_out = np.stack([emb.encode_one(t) for t in texts])
         np.testing.assert_allclose(native_out, py_out, atol=1e-6)
+
+
+class TestIncrementalUpdates:
+    def test_append_and_refresh(self):
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        idx = synthetic_dense_index(256, 64, seed=11)
+        eng = QueryEngine(idx, None)
+        rng = np.random.default_rng(0)
+        new_emb = rng.standard_normal((4, 64)).astype(np.float32)
+        new_emb /= np.linalg.norm(new_emb, axis=1, keepdims=True)
+        idx.append(
+            new_emb,
+            [{"id": f"new_{i}", "type": "database_table",
+              "table_name": "New"} for i in range(4)],
+            [f"new row {i}" for i in range(4)],
+        )
+        assert idx.n == 260
+        eng.refresh_index()
+        # a new row must now be retrievable as its own top hit
+        r = eng.query_batch(new_emb[2], top_k=1)
+        assert r.top_indices[0][0] == 258
+        # O(1) metadata lookup map was invalidated and rebuilt
+        assert idx.row_of_metadata({"id": "new_0"}) == 256
+
+    def test_delete_tombstones(self):
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        idx = synthetic_dense_index(128, 64, seed=12)
+        eng = QueryEngine(idx, None)
+        mask = idx.delete_rows([5])
+        # monkeypatch type_mask to inject the tombstone mask
+        idx.type_mask = lambda t: mask
+        r = eng.query_batch(
+            np.asarray(idx.emb[5], np.float32), top_k=3,
+            category_filter="tombstoned",
+        )
+        assert 5 not in r.top_indices[0].tolist()
+
+    def test_mask_where_predicate(self):
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        idx = synthetic_dense_index(64, 32, seed=13)
+        mask = idx.mask_where(lambda m: m["row_index"] % 2 == 0)
+        assert mask.sum() == 32
