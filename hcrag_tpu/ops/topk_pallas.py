@@ -160,6 +160,7 @@ def _topk_tile_kernel_int8(
     *,
     k: int,
     k_pad: int,
+    packed: bool = False,
 ):
     """Int8 variant: MXU int8xint8->int32 matmul + rank-1 rescale + the same
     in-VMEM iterative top-k.  Index bytes halve vs bf16 (the E read is the
@@ -179,13 +180,47 @@ def _topk_tile_kernel_int8(
         * q_scale_ref[:, 0][:, None]
         * e_scale_ref[0, :][None, :]
     )
-    scores = jnp.where(mask_ref[0, :][None, :] != 0, scores, NEG_INF)
-
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     base = tile * tile_n
     vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
     idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+
+    if packed:
+        # Packed selection (see _topk_tile_kernel_packed): the int8 scores
+        # already carry >= quantization-level noise, so the 2^-11 packed
+        # rounding is free here and selection halves to one reduce per pick.
+        col_u = jax.lax.broadcasted_iota(jnp.uint32, (b, tile_n), 1)
+        shifted = scores + 2.0
+        bits = pltpu.bitcast(shifted, jnp.uint32) & jnp.uint32(0xFFFFF800)
+        packed_scores = bits | (jnp.uint32(2047) - col_u)
+        packed_scores = jnp.where(
+            mask_ref[0, :][None, :] != 0, packed_scores, jnp.uint32(0)
+        )
+        for j in range(k):
+            best = jnp.max(packed_scores, axis=1)
+            lane = (
+                jnp.uint32(2047) - (best & jnp.uint32(0x7FF))
+            ).astype(jnp.int32)
+            val = pltpu.bitcast(
+                (best & jnp.uint32(0xFFFFF800))[:, None], jnp.float32
+            )[:, 0] - 2.0
+            valid = best != 0
+            sel = slot_ids == j
+            vals_acc = jnp.where(
+                sel, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
+            )
+            idxs_acc = jnp.where(
+                sel, jnp.where(valid, lane + base, -1)[:, None], idxs_acc
+            )
+            packed_scores = jnp.where(
+                packed_scores == best[:, None], jnp.uint32(0), packed_scores
+            )
+        vals_ref[:] = vals_acc
+        idxs_ref[:] = idxs_acc
+        return
+
+    scores = jnp.where(mask_ref[0, :][None, :] != 0, scores, NEG_INF)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     for j in range(k):
         best = jnp.max(scores, axis=1)
         is_best = scores == best[:, None]
@@ -198,7 +233,9 @@ def _topk_tile_kernel_int8(
     idxs_ref[:] = idxs_acc
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "tile_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "tile_n", "interpret", "packed_select")
+)
 def pallas_cosine_top_k_int8(
     query_emb: jnp.ndarray,   # [B, D] f32 (normalized)
     e_int8: jnp.ndarray,      # [N, D] int8
@@ -208,6 +245,7 @@ def pallas_cosine_top_k_int8(
     *,
     tile_n: int = 2048,
     interpret: bool = False,
+    packed_select: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused int8 cosine + top-k (see `_topk_tile_kernel_int8`)."""
     from hcrag_tpu.ops.quantize import quantize_queries
@@ -231,7 +269,9 @@ def pallas_cosine_top_k_int8(
         query_emb = jnp.pad(query_emb, ((0, b_pad - b), (0, 0)))
     qi, qs = quantize_queries(query_emb.astype(jnp.float32))
 
-    kernel = functools.partial(_topk_tile_kernel_int8, k=k, k_pad=k_pad)
+    kernel = functools.partial(
+        _topk_tile_kernel_int8, k=k, k_pad=k_pad, packed=packed_select
+    )
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[

@@ -309,7 +309,7 @@ class QueryEngine:
                 if b <= sub_b:
                     return pallas_cosine_top_k_int8(
                         q_emb, e8, bank["emb_scale"], type_mask, top_k,
-                        tile_n=tile,
+                        tile_n=tile, packed_select=True,
                     )
                 pad_b = (-b) % sub_b
                 q_padded = (
@@ -319,7 +319,7 @@ class QueryEngine:
                 v, i = jax.lax.map(
                     lambda qc: pallas_cosine_top_k_int8(
                         qc, e8, bank["emb_scale"], type_mask, top_k,
-                        tile_n=tile,
+                        tile_n=tile, packed_select=True,
                     ),
                     q_chunks,
                 )
