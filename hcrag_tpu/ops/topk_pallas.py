@@ -116,13 +116,16 @@ def _topk_tile_kernel_packed(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    col_ids = jax.lax.broadcasted_iota(jnp.uint32, (b, tile_n), 1)
+    # int32 packing: packed values are positive (score+2 in [1, 3.2] has a
+    # zero sign bit), and Mosaic reduces int32 natively (uint32 reductions
+    # are unimplemented).
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
 
     shifted = scores + 2.0  # positive -> monotone f32 bit pattern
-    bits = pltpu.bitcast(shifted, jnp.uint32) & jnp.uint32(0xFFFFF800)
-    packed = bits | (jnp.uint32(2047) - col_ids)
+    bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
+    packed = bits | (jnp.int32(2047) - col_ids)
     # invalid rows -> 0 (smaller than any valid packed value)
-    packed = jnp.where(mask_ref[0, :][None, :] != 0, packed, jnp.uint32(0))
+    packed = jnp.where(mask_ref[0, :][None, :] != 0, packed, jnp.int32(0))
 
     vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
     idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
@@ -130,9 +133,9 @@ def _topk_tile_kernel_packed(
     base = tile * tile_n
     for j in range(k):
         best = jnp.max(packed, axis=1)  # [b] single reduce
-        lane = (jnp.uint32(2047) - (best & jnp.uint32(0x7FF))).astype(jnp.int32)
+        lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
         val = pltpu.bitcast(
-            (best & jnp.uint32(0xFFFFF800))[:, None], jnp.float32
+            (best & jnp.int32(~0x7FF))[:, None], jnp.float32
         )[:, 0] - 2.0
         valid = best != 0
         sel = slot_ids == j
@@ -144,7 +147,7 @@ def _topk_tile_kernel_packed(
             jnp.where(valid, lane + base, -1)[:, None],
             idxs_acc,
         )
-        packed = jnp.where(packed == best[:, None], jnp.uint32(0), packed)
+        packed = jnp.where(packed == best[:, None], jnp.int32(0), packed)
     vals_ref[:] = vals_acc
     idxs_ref[:] = idxs_acc
 
@@ -189,20 +192,18 @@ def _topk_tile_kernel_int8(
         # Packed selection (see _topk_tile_kernel_packed): the int8 scores
         # already carry >= quantization-level noise, so the 2^-11 packed
         # rounding is free here and selection halves to one reduce per pick.
-        col_u = jax.lax.broadcasted_iota(jnp.uint32, (b, tile_n), 1)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
         shifted = scores + 2.0
-        bits = pltpu.bitcast(shifted, jnp.uint32) & jnp.uint32(0xFFFFF800)
-        packed_scores = bits | (jnp.uint32(2047) - col_u)
+        bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
+        packed_scores = bits | (jnp.int32(2047) - col_i)
         packed_scores = jnp.where(
-            mask_ref[0, :][None, :] != 0, packed_scores, jnp.uint32(0)
+            mask_ref[0, :][None, :] != 0, packed_scores, jnp.int32(0)
         )
         for j in range(k):
             best = jnp.max(packed_scores, axis=1)
-            lane = (
-                jnp.uint32(2047) - (best & jnp.uint32(0x7FF))
-            ).astype(jnp.int32)
+            lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
             val = pltpu.bitcast(
-                (best & jnp.uint32(0xFFFFF800))[:, None], jnp.float32
+                (best & jnp.int32(~0x7FF))[:, None], jnp.float32
             )[:, 0] - 2.0
             valid = best != 0
             sel = slot_ids == j
@@ -213,7 +214,7 @@ def _topk_tile_kernel_int8(
                 sel, jnp.where(valid, lane + base, -1)[:, None], idxs_acc
             )
             packed_scores = jnp.where(
-                packed_scores == best[:, None], jnp.uint32(0), packed_scores
+                packed_scores == best[:, None], jnp.int32(0), packed_scores
             )
         vals_ref[:] = vals_acc
         idxs_ref[:] = idxs_acc
