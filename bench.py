@@ -66,6 +66,7 @@ def run_direct():
     engine = QueryEngine(
         index, graph, ell_max_degree=8, use_pallas=use_pallas,
         quantize_int8=quantize_int8,
+        int8_rescore=int(os.environ.get("BENCH_RESCORE", 0)),
     )
     log(
         f"engine init (device transfer) in {time.time() - t0:.1f}s "

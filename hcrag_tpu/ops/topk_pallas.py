@@ -235,7 +235,10 @@ def _topk_tile_kernel_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "tile_n", "interpret", "packed_select")
+    jax.jit,
+    static_argnames=(
+        "top_k", "tile_n", "interpret", "packed_select", "merge_k"
+    ),
 )
 def pallas_cosine_top_k_int8(
     query_emb: jnp.ndarray,   # [B, D] f32 (normalized)
@@ -247,8 +250,16 @@ def pallas_cosine_top_k_int8(
     tile_n: int = 2048,
     interpret: bool = False,
     packed_select: bool = False,
+    merge_k: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused int8 cosine + top-k (see `_topk_tile_kernel_int8`)."""
+    """Fused int8 cosine + top-k (see `_topk_tile_kernel_int8`).
+
+    `merge_k > top_k` oversamples at the FINAL MERGE only: each tile still
+    selects `top_k` candidates (the in-kernel unrolled selection is linear in
+    k, so oversampling there is expensive), but the cross-tile merge keeps
+    the best `merge_k` of the `num_tiles * top_k` candidate pool.  Used by
+    the engine's exact-rescore refinement; surplus slots beyond the candidate
+    pool come back as (NEG_INF, -1) fillers."""
     from hcrag_tpu.ops.quantize import quantize_queries
 
     b, d = query_emb.shape
@@ -297,7 +308,8 @@ def pallas_cosine_top_k_int8(
         interpret=interpret,
     )(qi, qs.reshape(b_pad, 1), e_int8, scale_2d, mask_2d)
 
-    out_v, pos = jax.lax.top_k(vals[:b], k)
+    out_k = min(max(k, merge_k), vals.shape[1])
+    out_v, pos = jax.lax.top_k(vals[:b], out_k)
     out_i = jnp.take_along_axis(idxs[:b], pos, axis=1)
     return out_v, out_i
 

@@ -92,6 +92,7 @@ class QueryEngine:
         pallas_tile_n: int = 2048,
         quantize_int8: bool = False,
         int8_only: bool = False,
+        int8_rescore: int = 0,
     ):
         self.index = index
         self.graph = graph
@@ -116,6 +117,15 @@ class QueryEngine:
         self.use_pallas = use_pallas
         self.pallas_tile_n = pallas_tile_n
         self.quantize_int8 = quantize_int8
+        #: Quantized-recall refinement: the int8 kernel selects an
+        #: oversampled candidate set (`int8_rescore` per query), then the
+        #: exact bf16 rows of just those candidates are gathered and
+        #: rescored in f32 — int8 selection speed, near-exact final ranking.
+        #: Needs the bf16 copy, so it is off in int8-only residency mode.
+        self.int8_rescore = (
+            max(0, int(int8_rescore))
+            if (quantize_int8 and not int8_only) else 0
+        )
         if embedder is None:
             from hcrag_tpu.models.embedder import embedder_from_index
 
@@ -285,6 +295,27 @@ class QueryEngine:
                 streaming_quantized_top_k,
             )
 
+            # Oversample factor for the exact-rescore refinement: fetch m
+            # int8 candidates per query, rescore those rows exactly, keep k.
+            fetch_k = (
+                max(top_k, self.int8_rescore) if self.int8_rescore else top_k
+            )
+
+            def _rescore(v, i):
+                if fetch_k == top_k and not self.int8_rescore:
+                    return v, i
+                valid = i >= 0
+                rows = self._gather_emb_rows(
+                    jnp.where(valid, i, 0), bank
+                ).astype(jnp.float32)  # [B, m, D]
+                exact = jnp.einsum(
+                    "bd,bmd->bm", q_emb.astype(jnp.float32), rows,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                exact = jnp.where(valid, exact, -1e30)
+                sv, sp = jax.lax.top_k(exact, top_k)
+                return sv, jnp.take_along_axis(i, sp, axis=1)
+
             if self._int8_pallas:
                 from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k_int8
 
@@ -306,11 +337,16 @@ class QueryEngine:
                     + 16 * sub_b * 128
                 ) > (10 << 20):
                     tile //= 2
+                # Oversample at the merge, not in the kernel: per-tile
+                # selection stays at top_k passes (linear in k), the
+                # cross-tile merge keeps fetch_k of the per-tile candidates.
+                # Measured at 1M: in-kernel m=32 cost 3.9x throughput; the
+                # merge-level variant is ~free.
                 if b <= sub_b:
-                    return pallas_cosine_top_k_int8(
+                    return _rescore(*pallas_cosine_top_k_int8(
                         q_emb, e8, bank["emb_scale"], type_mask, top_k,
-                        tile_n=tile, packed_select=True,
-                    )
+                        tile_n=tile, packed_select=True, merge_k=fetch_k,
+                    ))
                 pad_b = (-b) % sub_b
                 q_padded = (
                     jnp.pad(q_emb, ((0, pad_b), (0, 0))) if pad_b else q_emb
@@ -319,21 +355,23 @@ class QueryEngine:
                 v, i = jax.lax.map(
                     lambda qc: pallas_cosine_top_k_int8(
                         qc, e8, bank["emb_scale"], type_mask, top_k,
-                        tile_n=tile, packed_select=True,
+                        tile_n=tile, packed_select=True, merge_k=fetch_k,
                     ),
                     q_chunks,
                 )
                 k_eff = v.shape[-1]
-                return v.reshape(-1, k_eff)[:b], i.reshape(-1, k_eff)[:b]
+                return _rescore(
+                    v.reshape(-1, k_eff)[:b], i.reshape(-1, k_eff)[:b]
+                )
 
             if bank["emb_int8"].shape[0] > (1 << 18):
-                return streaming_quantized_top_k(
+                return _rescore(*streaming_quantized_top_k(
                     q_emb, bank["emb_int8"], bank["emb_scale"], type_mask,
-                    top_k,
-                )
+                    fetch_k,
+                ))
             qi, qs = quantize_queries(q_emb.astype(jnp.float32))
             scores = quantized_scores(qi, qs, bank["emb_int8"], bank["emb_scale"])
-            return masked_top_k(scores, type_mask, top_k)
+            return _rescore(*masked_top_k(scores, type_mask, fetch_k))
         n = emb.shape[0]
         if n > (1 << 18):
             # Large index: stream row chunks (constant compile size, no

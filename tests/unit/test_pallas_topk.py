@@ -122,3 +122,47 @@ class TestPackedSelectExperimental:
         )
         # value error bounded by the 11-bit mantissa quantization
         assert err.max() < 2e-3
+
+
+class TestInt8KernelInterpret:
+    """Int8 fused kernel under interpret=True, incl. merge-level oversample."""
+
+    def _run(self, n=5000, d=128, b=4, k=10, merge_k=0, seed=11):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.quantize import quantize_rows
+        from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k_int8
+
+        q, e = _setup(n, d, b, seed=seed)
+        e8, scale = quantize_rows(e)
+        v, i = pallas_cosine_top_k_int8(
+            jnp.asarray(q), jnp.asarray(e8), jnp.asarray(scale),
+            jnp.ones(n, bool), k,
+            tile_n=1024, interpret=True, packed_select=True, merge_k=merge_k,
+        )
+        return q, e, np.asarray(v), np.asarray(i)
+
+    def test_int8_high_overlap(self):
+        q, e, v, i = self._run()
+        ref = np.argsort(-(q @ e.T), axis=1, kind="stable")[:, :10]
+        overlap = np.mean(
+            [len(set(i[r]) & set(ref[r])) / 10 for r in range(4)]
+        )
+        assert overlap >= 0.85  # int8 quantization noise only
+
+    def test_merge_k_oversample_shape_and_superset(self):
+        q, e, v10, i10 = self._run(merge_k=0)
+        _, _, v32, i32 = self._run(merge_k=32)
+        assert i32.shape == (4, 32) and v32.shape == (4, 32)
+        # oversampled merge is a superset of the k=10 merge, same order
+        np.testing.assert_array_equal(i32[:, :10], i10)
+        # and the extra slots are real rows with descending scores
+        assert (i32 >= 0).all()
+        assert (np.diff(v32, axis=1) <= 1e-6).all()
+
+    def test_merge_k_clamped_to_candidate_pool(self):
+        # 2 tiles x k=5 candidates = 10 < merge_k=64 -> clamped output width
+        q, e, v, i = self._run(n=2000, k=5, merge_k=64)
+        assert v.shape[1] <= 2 * 128  # bounded by candidate pool width
+        valid = i >= 0
+        assert valid[:, :10].all()  # the true candidates lead

@@ -74,6 +74,50 @@ class TestQuantize:
         assert all(100 <= int(x) < 200 for x in r.top_indices[0])
 
 
+class TestInt8Rescore:
+    """Oversample + exact-rescore refinement (engine `int8_rescore=m`)."""
+
+    def test_rescore_recovers_exact_ranking(self):
+        idx = synthetic_dense_index(4000, 128, seed=7)
+        e32 = QueryEngine(idx, None)
+        e8r = QueryEngine(idx, None, quantize_int8=True, int8_rescore=40)
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal((8, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        r32 = e32.query_batch(q, top_k=10)
+        r8 = e8r.query_batch(q, top_k=10)
+        overlap = np.mean(
+            [
+                len(set(r32.top_indices[i]) & set(r8.top_indices[i])) / 10
+                for i in range(8)
+            ]
+        )
+        assert overlap >= 0.99
+        # final scores are exact f32 dots of bf16 rows, not int8 estimates
+        assert np.abs(r32.top_scores - r8.top_scores).max() < 4e-3
+
+    def test_rescore_disabled_in_int8_only_mode(self):
+        idx = synthetic_dense_index(512, 64, seed=8)
+        e = QueryEngine(
+            idx, None, quantize_int8=True, int8_only=True, int8_rescore=32
+        )
+        assert e.int8_rescore == 0  # no exact rows to rescore against
+        q = np.asarray(idx.emb[5], np.float32)
+        assert e.query_batch(q, top_k=5).top_indices[0][0] == 5
+
+    def test_rescore_respects_category_mask(self):
+        idx = synthetic_dense_index(2000, 64, seed=9)
+        e = QueryEngine(idx, None, quantize_int8=True, int8_rescore=24)
+        mask_rows = np.zeros(2000, bool)
+        mask_rows[100:200] = True
+        idx.type_mask = lambda t: mask_rows
+        r = e.query_batch(
+            np.asarray(idx.emb[150], np.float32), top_k=5,
+            category_filter="anything",
+        )
+        assert all(100 <= int(x) < 200 for x in r.top_indices[0])
+
+
 class TestInt8Only:
     def test_int8_only_mode_no_bf16_copy(self):
         idx = synthetic_dense_index(2000, 64, seed=3)
