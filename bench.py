@@ -56,7 +56,11 @@ def run_direct():
     index, graph = _synthetic_setup(n, dim, graph_degree=4)
     emb_f32 = np.asarray(index.emb, dtype=np.float32)  # host copy for checks
     quantize_int8 = dtype == "int8"
-    if dtype == "bfloat16" or quantize_int8:
+    # Default: exact-rescore hybrid residency (bf16 kernel bank + f32
+    # candidate rescoring) -> exact-match recall at bf16 selection speed.
+    # BENCH_RESCORE=0 falls back to single-dtype residency.
+    rescore = int(os.environ.get("BENCH_RESCORE", 32))
+    if quantize_int8 or (dtype == "bfloat16" and not rescore):
         import ml_dtypes
 
         index.emb = emb_f32.astype(ml_dtypes.bfloat16)
@@ -66,7 +70,8 @@ def run_direct():
     engine = QueryEngine(
         index, graph, ell_max_degree=8, use_pallas=use_pallas,
         quantize_int8=quantize_int8,
-        int8_rescore=int(os.environ.get("BENCH_RESCORE", 0)),
+        int8_rescore=rescore,
+        exact_rescore=rescore if dtype == "bfloat16" else 0,
     )
     log(
         f"engine init (device transfer) in {time.time() - t0:.1f}s "

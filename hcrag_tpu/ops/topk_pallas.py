@@ -315,7 +315,10 @@ def pallas_cosine_top_k_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "tile_n", "interpret", "packed_select")
+    jax.jit,
+    static_argnames=(
+        "top_k", "tile_n", "interpret", "packed_select", "merge_k"
+    ),
 )
 def pallas_cosine_top_k(
     query_emb: jnp.ndarray,
@@ -326,6 +329,7 @@ def pallas_cosine_top_k(
     tile_n: int = 2048,
     interpret: bool = False,
     packed_select: bool = False,
+    merge_k: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused cosine + top-k over a (normalized) index.
 
@@ -336,6 +340,11 @@ def pallas_cosine_top_k(
       valid_mask: [N] bool row filter.
       top_k: static k (<= tile_n).
       interpret: run in the Pallas interpreter (CPU testing).
+      merge_k: if > top_k, the cross-tile merge keeps `merge_k` of the
+        per-tile candidates (per-tile selection stays at `top_k` passes —
+        the in-kernel selection is linear in k, so oversample HERE, not in
+        the kernel).  Surplus slots beyond the candidate pool come back as
+        (NEG_INF, -1) fillers.  Used by the engine's exact-rescore path.
 
     Returns (values [B, k] f32, indices [B, k] int32), descending, ties to
     the lowest index.
@@ -401,7 +410,8 @@ def pallas_cosine_top_k(
 
     # Final merge over the per-tile candidates (XLA; tiny).  Slots >= k hold
     # NEG_INF / -1 and never win.
-    out_v, pos = jax.lax.top_k(vals[:b], k)
+    out_k = min(max(k, merge_k), vals.shape[1])
+    out_v, pos = jax.lax.top_k(vals[:b], out_k)
     out_i = jnp.take_along_axis(idxs[:b], pos, axis=1)
     return out_v, out_i
 

@@ -93,6 +93,7 @@ class QueryEngine:
         quantize_int8: bool = False,
         int8_only: bool = False,
         int8_rescore: int = 0,
+        exact_rescore: int = 0,
     ):
         self.index = index
         self.graph = graph
@@ -126,6 +127,13 @@ class QueryEngine:
             max(0, int(int8_rescore))
             if (quantize_int8 and not int8_only) else 0
         )
+        #: Float-path analogue (`exact_rescore=m`): the kernel bank drops to
+        #: bf16 and an f32 bank is kept for candidate rescoring — bf16 input
+        #: rounding is the only recall loss in the float path, and exact f32
+        #: rescoring of the oversampled merge removes it.
+        self.exact_rescore = (
+            max(0, int(exact_rescore)) if not quantize_int8 else 0
+        )
         if embedder is None:
             from hcrag_tpu.models.embedder import embedder_from_index
 
@@ -155,10 +163,21 @@ class QueryEngine:
                 # bf16 copy for expanded-node scoring gathers (small gathers;
                 # dominated by the int8 matmul savings).
                 self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
+            self.d_emb_f32 = None
         else:
             self.d_emb_int8 = None
             self.d_emb_scale = None
-            self.d_emb = put(jnp.asarray(emb_host))
+            if self.exact_rescore and emb_host.dtype == np.float32:
+                # Hybrid residency: the top-k kernel streams a bf16 bank
+                # (half the E-read bytes, the throughput floor at large N)
+                # and the exact f32 rows of only the merged candidates are
+                # rescored.  Selection speed of bf16, ranking of f32.
+                self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
+                self.d_emb_f32 = put(jnp.asarray(emb_host))
+            else:
+                self.exact_rescore = 0  # needs an f32 source to rescore
+                self.d_emb_f32 = None
+                self.d_emb = put(jnp.asarray(emb_host))
         self.d_type_ids = put(jnp.asarray(index.type_ids))
         self.d_bits = put(jnp.asarray(index.entity_bits))
         self.d_counts = put(jnp.asarray(index.entity_counts))
@@ -211,6 +230,8 @@ class QueryEngine:
         }
         if self.d_emb is not None:
             bank["emb"] = self.d_emb
+        if getattr(self, "d_emb_f32", None) is not None:
+            bank["emb_f32"] = self.d_emb_f32
         if self.quantize_int8:
             bank["emb_int8"] = self.d_emb_int8
             bank["emb_scale"] = self.d_emb_scale
@@ -238,8 +259,37 @@ class QueryEngine:
         With `use_pallas=True` the Pallas fused kernel streams index tiles
         through VMEM and never materializes the [B, N] score matrix."""
         emb = bank.get("emb")
+
+        def _exact(v, i, rows_fn):
+            """Exact-rescore refinement: re-rank the oversampled candidate
+            set (v, i) by exact f32 dots of `rows_fn(i)` and keep top_k.
+            Invalid slots never win: merge fillers carry idx -1, and rows
+            masked out by the type filter carry -inf/NEG_INF scores (their
+            indices still point at real — but excluded — rows, so rescoring
+            them would resurrect filtered rows)."""
+            valid = (i >= 0) & (v > -1e29)
+            rows = rows_fn(jnp.where(valid, i, 0)).astype(jnp.float32)
+            exact = jnp.einsum(
+                "bd,bmd->bm", q_emb.astype(jnp.float32), rows,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            exact = jnp.where(valid, exact, -1e30)
+            sv, sp = jax.lax.top_k(exact, top_k)
+            return sv, jnp.take_along_axis(i, sp, axis=1)
+
         if self.use_pallas:
             from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k
+
+            # Exact-rescore (bf16 kernel bank + f32 rescore bank): the merge
+            # keeps `exact_rescore` candidates, their f32 rows re-rank.
+            merge_k = (
+                max(top_k, self.exact_rescore) if self.exact_rescore else 0
+            )
+
+            def _refine(v, i):
+                if not merge_k:
+                    return v, i
+                return _exact(v, i, lambda ix: bank["emb_f32"][ix])
 
             pad = emb.shape[0] - type_mask.shape[0]
             if pad:
@@ -269,9 +319,10 @@ class QueryEngine:
                 tile //= 2
 
             if b <= sub_b:
-                return pallas_cosine_top_k(
-                    q_emb, emb, type_mask, top_k, tile_n=tile
-                )
+                return _refine(*pallas_cosine_top_k(
+                    q_emb, emb, type_mask, top_k, tile_n=tile,
+                    merge_k=merge_k,
+                ))
             pad_b = (-b) % sub_b
             q_padded = (
                 jnp.pad(q_emb, ((0, pad_b), (0, 0))) if pad_b else q_emb
@@ -279,12 +330,13 @@ class QueryEngine:
             q_chunks = q_padded.reshape(-1, sub_b, q_emb.shape[1])
             v, i = jax.lax.map(
                 lambda qc: pallas_cosine_top_k(
-                    qc, emb, type_mask, top_k, tile_n=tile
+                    qc, emb, type_mask, top_k, tile_n=tile,
+                    merge_k=merge_k,
                 ),
                 q_chunks,
             )
             k_eff = v.shape[-1]
-            return (
+            return _refine(
                 v.reshape(-1, k_eff)[:b],
                 i.reshape(-1, k_eff)[:b],
             )
@@ -302,19 +354,11 @@ class QueryEngine:
             )
 
             def _rescore(v, i):
-                if fetch_k == top_k and not self.int8_rescore:
+                if not self.int8_rescore:
                     return v, i
-                valid = i >= 0
-                rows = self._gather_emb_rows(
-                    jnp.where(valid, i, 0), bank
-                ).astype(jnp.float32)  # [B, m, D]
-                exact = jnp.einsum(
-                    "bd,bmd->bm", q_emb.astype(jnp.float32), rows,
-                    precision=jax.lax.Precision.HIGHEST,
+                return _exact(
+                    v, i, lambda ix: self._gather_emb_rows(ix, bank)
                 )
-                exact = jnp.where(valid, exact, -1e30)
-                sv, sp = jax.lax.top_k(exact, top_k)
-                return sv, jnp.take_along_axis(i, sp, axis=1)
 
             if self._int8_pallas:
                 from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k_int8
@@ -372,17 +416,26 @@ class QueryEngine:
             qi, qs = quantize_queries(q_emb.astype(jnp.float32))
             scores = quantized_scores(qi, qs, bank["emb_int8"], bank["emb_scale"])
             return _rescore(*masked_top_k(scores, type_mask, fetch_k))
+        fetch_k = max(top_k, self.exact_rescore) if self.exact_rescore else top_k
+
+        def _refine(v, i):
+            if fetch_k == top_k and not self.exact_rescore:
+                return v, i
+            return _exact(v, i, lambda ix: bank["emb_f32"][ix])
+
         n = emb.shape[0]
         if n > (1 << 18):
             # Large index: stream row chunks (constant compile size, no
             # [B, N] score buffer).
-            return streaming_masked_top_k(q_emb, emb, type_mask, top_k)
+            return _refine(
+                *streaming_masked_top_k(q_emb, emb, type_mask, fetch_k)
+            )
         scores = jnp.dot(
             q_emb.astype(emb.dtype),
             emb.T,
             preferred_element_type=jnp.float32,
         )  # [B, N] cosine
-        return masked_top_k(scores, type_mask, top_k)
+        return _refine(*masked_top_k(scores, type_mask, fetch_k))
 
     def _build_step(self, top_k: int, depth: int, max_expanded: int, reduction: int):
         has_graph = self.d_neighbors is not None
@@ -765,6 +818,9 @@ class QueryEngine:
                 if self.d_emb is None
                 else jnp.asarray(emb_host).astype(jnp.bfloat16)
             )
+        elif self.exact_rescore and emb_host.dtype == np.float32:
+            self.d_emb = jnp.asarray(emb_host).astype(jnp.bfloat16)
+            self.d_emb_f32 = jnp.asarray(emb_host)
         else:
             self.d_emb = jnp.asarray(emb_host)
         self.d_type_ids = jnp.asarray(index.type_ids)

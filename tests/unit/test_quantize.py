@@ -152,3 +152,65 @@ class TestInt8Only:
         # expanded scores come from dequantized int8 gathers, bounded [0,1]
         scores = r.expanded_relevance[0][:count]
         assert ((scores >= 0) & (scores <= 1 + 1e-6)).all()
+
+
+class TestExactRescoreFloatPath:
+    """Float-path hybrid residency: bf16 kernel bank + f32 candidate rescore."""
+
+    def test_recovers_exact_recall_over_bf16(self):
+        idx = synthetic_dense_index(4000, 128, seed=31)
+        emb_f32 = np.asarray(idx.emb, np.float32)
+        e = QueryEngine(idx, None, exact_rescore=32)
+        assert e.d_emb.dtype.name == "bfloat16"
+        assert e.d_emb_f32 is not None
+        rng = np.random.default_rng(2)
+        q = rng.standard_normal((6, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        r = e.query_batch(q, top_k=10)
+        ref = np.argsort(-(q @ emb_f32.T), axis=1, kind="stable")[:, :10]
+        overlap = np.mean(
+            [len(set(np.asarray(r.top_indices[i])) & set(ref[i])) / 10
+             for i in range(6)]
+        )
+        assert overlap >= 0.99
+        # final scores are f32-exact dots (bf16 row error only if any)
+        ref_scores = np.take_along_axis(q @ emb_f32.T, ref, 1)
+        assert np.abs(np.asarray(r.top_scores) - ref_scores).max() < 4e-3
+
+    def test_mask_not_resurrected_by_rescore(self):
+        # oversample (m) larger than the valid row count: the rescore must
+        # not resurrect rows the type filter excluded
+        idx = synthetic_dense_index(1000, 64, seed=32)
+        e = QueryEngine(idx, None, exact_rescore=64)
+        mask_rows = np.zeros(1000, bool)
+        mask_rows[10:20] = True  # only 10 valid rows, m=64
+        idx.type_mask = lambda t: mask_rows
+        r = e.query_batch(
+            np.asarray(idx.emb[15], np.float32), top_k=5,
+            category_filter="x",
+        )
+        assert all(10 <= int(x) < 20 for x in r.top_indices[0])
+
+    def test_disabled_on_bf16_source(self):
+        import ml_dtypes
+
+        idx = synthetic_dense_index(512, 64, seed=33)
+        idx.emb = np.asarray(idx.emb, np.float32).astype(ml_dtypes.bfloat16)
+        e = QueryEngine(idx, None, exact_rescore=32)
+        assert e.exact_rescore == 0  # no f32 source to rescore against
+        q = np.asarray(idx.emb[5], np.float32)
+        assert e.query_batch(q, top_k=5).top_indices[0][0] == 5
+
+    def test_refresh_rebuilds_f32_bank(self):
+        idx = synthetic_dense_index(256, 64, seed=34)
+        e = QueryEngine(idx, None, exact_rescore=16)
+        rng = np.random.default_rng(3)
+        new = rng.standard_normal((2, 64)).astype(np.float32)
+        new /= np.linalg.norm(new, axis=1, keepdims=True)
+        idx.append(new, [{"id": f"r{i}", "type": "database_table",
+                          "table_name": "T"} for i in range(2)],
+                   ["a", "b"])
+        e.refresh_index()
+        assert e.d_emb_f32.shape[0] == 258
+        r = e.query_batch(new[1], top_k=1)
+        assert r.top_indices[0][0] == 257
