@@ -624,12 +624,12 @@ class QueryEngine:
     # Cached device-side constant inputs (avoid re-uploading per call).
     def _true_mask(self):
         if not hasattr(self, "_d_true_mask"):
-            n = (
-                self.d_emb.shape[0]
-                if self.d_emb is not None
-                else self.d_emb_int8.shape[0]
-            )
-            self._d_true_mask = jnp.ones((n,), dtype=bool)
+            # Sized to the UNPADDED row count: the device bank may carry
+            # zero-vector pad rows (Pallas tile alignment), and _topk_impl
+            # masks out exactly the rows beyond the mask length.  An
+            # all-ones mask over the padded bank would let pad rows win
+            # with score 0.0 whenever the true top-k scores are negative.
+            self._d_true_mask = jnp.ones((self._n_rows,), dtype=bool)
         return self._d_true_mask
 
     def _zeros_i32(self, b):

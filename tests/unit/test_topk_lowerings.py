@@ -80,3 +80,22 @@ class TestChunkedTopK:
         q = np.asarray(idx.emb[3], np.float32)
         r = engine.query_batch(q, top_k=3)
         assert r.top_indices[0][0] == 3
+
+
+class TestPadRowMask:
+    """Pad rows (Pallas tile alignment) must never be retrievable.
+
+    Regression: `_true_mask` was sized to the PADDED device bank, so
+    zero-vector pad rows scored 0.0 and beat real rows whenever a query's
+    true top-k scores were all negative (seen as indices >= n on the real
+    585-row index through tools/verify_parity.py)."""
+
+    def test_true_mask_sized_to_unpadded_rows(self):
+        from hcrag_tpu.query.engine import QueryEngine
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        idx = synthetic_dense_index(585, 128, seed=44)
+        e = QueryEngine(idx, None, use_pallas=True, pallas_tile_n=512)
+        assert e.d_emb.shape[0] == 1024      # bank padded to tile multiple
+        assert e._n_rows == 585
+        assert e._true_mask().shape[0] == 585  # mask must NOT cover pads
