@@ -265,6 +265,7 @@ def pallas_cosine_top_k_int8(
     b, d = query_emb.shape
     n = e_int8.shape[0]
     assert d % 128 == 0
+    assert not (packed_select and tile_n > 2048), "packed lane field is 11 bits"
     k = min(top_k, n)
 
     n_pad = _round_up(n, tile_n)

@@ -22,67 +22,72 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_sharded_index(engine, directory) -> None:
-    """Write the engine's device-resident index bank (preserving shardings)."""
-    directory = Path(directory).absolute()
-    tree = {
-        "emb": engine.d_emb,
-        "type_ids": engine.d_type_ids,
-        "entity_bits": engine.d_bits,
-        "entity_counts": engine.d_counts,
-        "graph_ids": engine.d_graph_ids,
+#: (tree key, engine attribute) for every device array an engine may carry.
+#: Quantized / dual-residency engines select and rescore against
+#: emb_int8/emb_scale/emb_f32 — omitting any present bank from the
+#: checkpoint would leave a restore with stale selection/rescore tables and
+#: silently wrong rankings.
+_BANK_ATTRS = (
+    ("emb", "d_emb"),
+    ("emb_int8", "d_emb_int8"),
+    ("emb_scale", "d_emb_scale"),
+    ("emb_f32", "d_emb_f32"),
+    ("type_ids", "d_type_ids"),
+    ("entity_bits", "d_bits"),
+    ("entity_counts", "d_counts"),
+    ("graph_ids", "d_graph_ids"),
+    ("neighbors", "d_neighbors"),
+    ("neighbors_hop2", "d_neighbors_hop2"),
+    ("g_type_ids", "d_g_type_ids"),
+    ("g_row", "d_g_row"),
+)
+
+
+def _engine_tree(engine) -> Dict:
+    return {
+        key: getattr(engine, attr)
+        for key, attr in _BANK_ATTRS
+        if getattr(engine, attr, None) is not None
     }
-    if engine.d_neighbors is not None:
-        tree["neighbors"] = engine.d_neighbors
-        tree["neighbors_hop2"] = engine.d_neighbors_hop2
-        tree["g_type_ids"] = engine.d_g_type_ids
-        tree["g_row"] = engine.d_g_row
-    _checkpointer().save(directory, tree, force=True)
+
+
+def save_sharded_index(engine, directory) -> None:
+    """Write the engine's device-resident index bank (preserving shardings).
+
+    Covers every bank the engine's mode uses — f32/bf16, int8 + scales, and
+    the f32 exact-rescore copy."""
+    directory = Path(directory).absolute()
+    _checkpointer().save(directory, _engine_tree(engine), force=True)
 
 
 def restore_sharded_index(
     engine, directory, *, shardings: Optional[Dict] = None
 ) -> None:
-    """Restore device arrays into an engine (same mesh/topology).
+    """Restore device arrays into an engine (same mesh/topology and same
+    engine mode: the checkpoint must carry exactly the banks the engine's
+    quantize/rescore configuration expects).
 
-    `shardings` optionally maps tree keys to jax.sharding.Sharding; default
-    restores with the shardings of the engine's current arrays.
+    `shardings` optionally maps tree KEYS (e.g. "emb", "emb_int8") to
+    jax.sharding.Sharding; any key not in the mapping restores with the
+    sharding of the engine's current array.
     """
     import orbax.checkpoint as ocp
 
     directory = Path(directory).absolute()
-    current = {
-        "emb": engine.d_emb,
-        "type_ids": engine.d_type_ids,
-        "entity_bits": engine.d_bits,
-        "entity_counts": engine.d_counts,
-        "graph_ids": engine.d_graph_ids,
-    }
-    if engine.d_neighbors is not None:
-        current["neighbors"] = engine.d_neighbors
-        current["neighbors_hop2"] = engine.d_neighbors_hop2
-        current["g_type_ids"] = engine.d_g_type_ids
-        current["g_row"] = engine.d_g_row
+    current = _engine_tree(engine)
 
-    restore_args = jax.tree.map(
-        lambda arr: ocp.ArrayRestoreArgs(
-            sharding=(shardings or {}).get(id(arr)) or arr.sharding,
+    restore_args = {
+        key: ocp.ArrayRestoreArgs(
+            sharding=(shardings or {}).get(key) or arr.sharding,
             global_shape=arr.shape,
             dtype=arr.dtype,
-        ),
-        current,
-    )
+        )
+        for key, arr in current.items()
+    }
     restored = _checkpointer().restore(
         directory, item=current, restore_args=restore_args
     )
-    engine.d_emb = restored["emb"]
-    engine.d_type_ids = restored["type_ids"]
-    engine.d_bits = restored["entity_bits"]
-    engine.d_counts = restored["entity_counts"]
-    engine.d_graph_ids = restored["graph_ids"]
-    if "neighbors" in restored:
-        engine.d_neighbors = restored["neighbors"]
-        engine.d_neighbors_hop2 = restored["neighbors_hop2"]
-        engine.d_g_type_ids = restored["g_type_ids"]
-        engine.d_g_row = restored["g_row"]
+    for key, attr in _BANK_ATTRS:
+        if key in restored:
+            setattr(engine, attr, restored[key])
     engine._step_cache.clear()  # arrays changed; recompile against them

@@ -42,7 +42,14 @@ class ShardedQueryEngine(QueryEngine):
         embedder=None,
         ell_max_degree: Optional[int] = None,
         shard_queries: bool = False,
+        **kernel_opts,
     ):
+        """`kernel_opts` forward to `QueryEngine` — the sharded path runs the
+        SAME kernel stack per shard (`use_pallas`, `quantize_int8`,
+        `int8_only`, `int8_rescore`, `exact_rescore`, `pallas_tile_n`,
+        `pallas_interpret`): shard-local Pallas/int8/streaming selection, an
+        ICI all-gather merge, and a distributed exact-rescore (see
+        `sharded_ops.sharded_top_k`)."""
         self.mesh = mesh if mesh is not None else make_row_mesh()
         #: With a 2-D (batch, rows) mesh, also shard the query batch —
         #: data-parallel queries on top of the row-sharded index.
@@ -53,37 +60,35 @@ class ShardedQueryEngine(QueryEngine):
             if shard_queries and BATCH_AXIS in self.mesh.shape
             else None
         )
-        n_shards = self.mesh.shape[ROWS_AXIS]
-
-        # Pad the row axis so it divides evenly across shards; padded rows are
-        # masked out of every top-k by `_row_valid`.
-        emb_padded, n_orig = pad_rows(np.asarray(index.emb), n_shards)
-        self._n_orig = n_orig
-        self._n_padded = emb_padded.shape[0]
-
         super().__init__(
-            index, graph, embedder=embedder, ell_max_degree=ell_max_degree
+            index, graph, embedder=embedder, ell_max_degree=ell_max_degree,
+            **kernel_opts,
         )
+        n_shards = self.mesh.shape[ROWS_AXIS]
+        n_orig = self._n_rows
+        self._n_orig = n_orig  # alias; `_n_padded` is set by _init_emb_banks
 
-        # Re-place the big arrays with explicit shardings.  Every other table
-        # is explicitly REPLICATED on the same mesh: mixing mesh-committed
-        # and single-device-committed arguments in one jit call is an error,
-        # and checkpoint restores return committed arrays.
+        # The embedding banks were placed row-sharded by `_init_emb_banks`
+        # (called from the base __init__).  Re-place every OTHER table
+        # explicitly REPLICATED on the same mesh, padded to the sharded row
+        # count: mixing mesh-committed and single-device-committed arguments
+        # in one jit call is an error, and top-k indices range over the
+        # padded rows.
         from hcrag_tpu.parallel.mesh import replicated
 
         repl = replicated(self.mesh)
-        self.d_emb = jax.device_put(jnp.asarray(emb_padded), row_sharding(self.mesh))
+        pad_to = self._n_padded
         self.d_type_ids = jax.device_put(
-            jnp.asarray(pad_rows(index.type_ids, n_shards, pad_value=0)[0]), repl
+            jnp.asarray(pad_rows(index.type_ids, pad_to, pad_value=0)[0]), repl
         )
         self.d_bits = jax.device_put(
-            jnp.asarray(pad_rows(index.entity_bits, n_shards)[0]), repl
+            jnp.asarray(pad_rows(index.entity_bits, pad_to)[0]), repl
         )
         self.d_counts = jax.device_put(
-            jnp.asarray(pad_rows(index.entity_counts, n_shards)[0]), repl
+            jnp.asarray(pad_rows(index.entity_counts, pad_to)[0]), repl
         )
         self.d_graph_ids = jax.device_put(
-            jnp.asarray(pad_rows(index.graph_ids, n_shards, pad_value=-1)[0]),
+            jnp.asarray(pad_rows(index.graph_ids, pad_to, pad_value=-1)[0]),
             repl,
         )
         self._row_valid = jax.device_put(
@@ -94,6 +99,40 @@ class ShardedQueryEngine(QueryEngine):
             self.d_neighbors_hop2 = jax.device_put(self.d_neighbors_hop2, repl)
             self.d_g_type_ids = jax.device_put(self.d_g_type_ids, repl)
             self.d_g_row = jax.device_put(self.d_g_row, repl)
+
+    def _row_pad_multiple(self) -> int:
+        # Shard count x tile alignment: every shard's LOCAL block stays
+        # tile-aligned, so the per-shard Pallas kernels never pad internally.
+        return self.mesh.shape[ROWS_AXIS] * super()._row_pad_multiple()
+
+    def _init_emb_banks(self, emb_host: np.ndarray, device) -> None:
+        """Row-sharded placement of the embedding banks — one sharded copy
+        of the dominant array, never a single-device intermediate."""
+        self._n_padded = emb_host.shape[0]
+        rows = row_sharding(self.mesh)
+        put_rows = lambda arr: jax.device_put(arr, rows)  # noqa: E731
+        if self.quantize_int8:
+            from hcrag_tpu.ops.quantize import quantize_rows
+
+            q8, scale = quantize_rows(emb_host.astype(np.float32))
+            self.d_emb_int8 = put_rows(q8)
+            self.d_emb_scale = put_rows(scale)
+            self.d_emb = (
+                None
+                if self.int8_only
+                else put_rows(emb_host.astype(jnp.bfloat16))
+            )
+            self.d_emb_f32 = None
+        else:
+            self.d_emb_int8 = None
+            self.d_emb_scale = None
+            if self.exact_rescore and emb_host.dtype == np.float32:
+                self.d_emb = put_rows(emb_host.astype(jnp.bfloat16))
+                self.d_emb_f32 = put_rows(emb_host)
+            else:
+                self.exact_rescore = 0
+                self.d_emb_f32 = None
+                self.d_emb = put_rows(emb_host)
 
     def _bank(self):
         bank = super()._bank()
@@ -108,9 +147,13 @@ class ShardedQueryEngine(QueryEngine):
     def _gather_emb_rows(self, indices, bank):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return bank["emb"].at[indices].get(
-            out_sharding=NamedSharding(self.mesh, P())
-        )
+        repl = NamedSharding(self.mesh, P())
+        if "emb" not in bank:
+            # int8-only residency: dequantize gathered rows on the fly.
+            rows = bank["emb_int8"].at[indices].get(out_sharding=repl)
+            scale = bank["emb_scale"].at[indices].get(out_sharding=repl)
+            return rows.astype(jnp.float32) * scale[..., None]
+        return bank["emb"].at[indices].get(out_sharding=repl)
 
     def _topk_impl(self, q_emb, type_mask, top_k: int, bank):
         # type_mask arrives sized [n_orig] (host filters) or [n_padded] (the
@@ -121,7 +164,22 @@ class ShardedQueryEngine(QueryEngine):
                 [type_mask, jnp.zeros((pad,), dtype=bool)]
             )
         mask = type_mask & bank["row_valid"]
+
+        # Row-sharded banks handed to the shard-local kernel (+ rescore).
+        banks = {}
+        for key in ("emb", "emb_int8", "emb_scale", "emb_f32"):
+            if key in bank:
+                banks[key] = bank[key]
+        m = self._rescore_m()
+        if m:
+            rescore_key = "emb" if self.quantize_int8 else "emb_f32"
+        else:
+            rescore_key = None
         return sharded_top_k(
-            self.mesh, q_emb, bank["emb"], top_k, mask,
+            self.mesh, q_emb, None, top_k, mask,
             batch_axis=self.batch_axis,
+            banks=banks,
+            local_select=self._local_select,
+            fetch_k=max(top_k, m) if m else 0,
+            rescore_key=rescore_key,
         )

@@ -77,6 +77,24 @@ class QueryBatchResult:
     expanded_relevance: np.ndarray  # [B, max_expanded]
 
 
+def exact_rescore(q_emb, v, i, rows_fn, top_k: int):
+    """Exact-rescore refinement: re-rank the oversampled candidate set
+    (v, i) by exact f32 dots of `rows_fn(i)` and keep top_k.
+    Invalid slots never win: merge fillers carry idx -1, and rows masked out
+    by the type filter carry -inf/NEG_INF scores (their indices still point
+    at real — but excluded — rows, so rescoring them would resurrect
+    filtered rows)."""
+    valid = (i >= 0) & (v > -1e29)
+    rows = rows_fn(jnp.where(valid, i, 0)).astype(jnp.float32)
+    exact = jnp.einsum(
+        "bd,bmd->bm", q_emb.astype(jnp.float32), rows,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    exact = jnp.where(valid, exact, -1e30)
+    sv, sp = jax.lax.top_k(exact, top_k)
+    return sv, jnp.take_along_axis(i, sp, axis=1)
+
+
 class QueryEngine:
     """Single-device query engine over a DenseIndex (+ optional CsrGraph)."""
 
@@ -94,6 +112,7 @@ class QueryEngine:
         int8_only: bool = False,
         int8_rescore: int = 0,
         exact_rescore: int = 0,
+        pallas_interpret: Optional[bool] = None,
     ):
         self.index = index
         self.graph = graph
@@ -102,6 +121,15 @@ class QueryEngine:
         except RuntimeError:
             backend = "cpu"
         on_tpu = backend in ("tpu", "axon")
+        #: Run Pallas kernels in the interpreter — lets the CPU-mesh tests
+        #: exercise the exact kernel code paths (incl. the sharded engine's
+        #: shard-local Pallas dispatch) without TPU hardware.
+        self._pallas_interpret = (
+            bool(pallas_interpret)
+            if pallas_interpret is not None
+            else bool(use_pallas) and not on_tpu
+        )
+        pallas_ok = on_tpu or self._pallas_interpret
         if use_pallas is None:
             # Default to the fused Pallas kernel on TPU backends: measured
             # 19x faster than the XLA matmul+top-k pipeline (5.5 ms vs
@@ -109,9 +137,10 @@ class QueryEngine:
             use_pallas = (
                 on_tpu and index.dim % 128 == 0 and not quantize_int8
             )
-        #: int8 index + TPU -> the fused int8 kernel (halved E-read bytes).
+        #: int8 index + TPU (or interpreter) -> the fused int8 kernel
+        #: (halved E-read bytes).
         self._int8_pallas = (
-            quantize_int8 and on_tpu and index.dim % 128 == 0
+            quantize_int8 and pallas_ok and index.dim % 128 == 0
         )
         if quantize_int8:
             use_pallas = False  # the f32/bf16 kernel has no int8 operands
@@ -123,6 +152,7 @@ class QueryEngine:
         #: exact bf16 rows of just those candidates are gathered and
         #: rescored in f32 — int8 selection speed, near-exact final ranking.
         #: Needs the bf16 copy, so it is off in int8-only residency mode.
+        self.int8_only = bool(int8_only)
         self.int8_rescore = (
             max(0, int(int8_rescore))
             if (quantize_int8 and not int8_only) else 0
@@ -141,43 +171,12 @@ class QueryEngine:
         self.embedder = embedder
 
         put = functools.partial(jax.device_put, device=device)
-        # Device-resident index bank.  With the Pallas top-k the row axis is
-        # pre-padded to the tile size once (padded rows masked out of every
-        # top-k) so the kernel never pads per call.
-        emb_host = np.asarray(index.emb)
-        self._n_rows = emb_host.shape[0]
-        if use_pallas and emb_host.shape[0] % pallas_tile_n:
-            pad = pallas_tile_n - emb_host.shape[0] % pallas_tile_n
-            emb_host = np.pad(emb_host, ((0, pad), (0, 0)))
-        if quantize_int8:
-            from hcrag_tpu.ops.quantize import quantize_rows
-
-            q8, scale = quantize_rows(emb_host.astype(np.float32))
-            self.d_emb_int8 = put(jnp.asarray(q8))
-            self.d_emb_scale = put(jnp.asarray(scale))
-            if int8_only:
-                # Maximum-density mode (10M rows on one chip): no bf16 copy;
-                # expanded-node scoring dequantizes gathered int8 rows.
-                self.d_emb = None
-            else:
-                # bf16 copy for expanded-node scoring gathers (small gathers;
-                # dominated by the int8 matmul savings).
-                self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
-            self.d_emb_f32 = None
-        else:
-            self.d_emb_int8 = None
-            self.d_emb_scale = None
-            if self.exact_rescore and emb_host.dtype == np.float32:
-                # Hybrid residency: the top-k kernel streams a bf16 bank
-                # (half the E-read bytes, the throughput floor at large N)
-                # and the exact f32 rows of only the merged candidates are
-                # rescored.  Selection speed of bf16, ranking of f32.
-                self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
-                self.d_emb_f32 = put(jnp.asarray(emb_host))
-            else:
-                self.exact_rescore = 0  # needs an f32 source to rescore
-                self.d_emb_f32 = None
-                self.d_emb = put(jnp.asarray(emb_host))
+        # Device-resident index bank.  The row axis is pre-padded ONCE to
+        # `_row_pad_multiple()` (Pallas tile alignment — incl. the int8
+        # kernel, which would otherwise jnp.pad its whole bank inside every
+        # compiled step); padded rows are masked out of every top-k.
+        self._n_rows = np.asarray(index.emb).shape[0]
+        self._init_emb_banks(self._padded_host_emb(), device)
         self.d_type_ids = put(jnp.asarray(index.type_ids))
         self.d_bits = put(jnp.asarray(index.entity_bits))
         self.d_counts = put(jnp.asarray(index.entity_counts))
@@ -209,6 +208,66 @@ class QueryEngine:
             self.d_g_row = None
 
         self._step_cache: Dict[Tuple, callable] = {}
+
+    # ------------------------------------------------------------------
+    # Bank construction (overridden by the sharded engine)
+    # ------------------------------------------------------------------
+    def _row_pad_multiple(self) -> int:
+        """Row-axis padding multiple for the device bank.  Pallas paths
+        pre-pad to the tile size once at init so the kernels never pad per
+        call (an internal jnp.pad would copy the whole bank inside every
+        compiled step).  The sharded engine multiplies this by the shard
+        count so every shard's local block stays tile-aligned."""
+        if self.use_pallas:
+            return self.pallas_tile_n
+        if self._int8_pallas:
+            return min(self.pallas_tile_n, 2048)  # packed lane field: 11 bits
+        return 1
+
+    def _padded_host_emb(self) -> np.ndarray:
+        emb_host = np.asarray(self.index.emb)
+        mult = self._row_pad_multiple()
+        if mult > 1 and emb_host.shape[0] % mult:
+            pad = mult - emb_host.shape[0] % mult
+            emb_host = np.pad(emb_host, ((0, pad), (0, 0)))
+        return emb_host
+
+    def _init_emb_banks(self, emb_host: np.ndarray, device) -> None:
+        """Build + place the embedding banks (quantized / dual-residency
+        variants included).  `emb_host` arrives pre-padded to
+        `_row_pad_multiple()`.  The sharded engine overrides this with
+        row-sharded placement over its mesh — keeping ONE copy of the
+        dominant array instead of a single-device copy plus a re-placement."""
+        put = functools.partial(jax.device_put, device=device)
+        if self.quantize_int8:
+            from hcrag_tpu.ops.quantize import quantize_rows
+
+            q8, scale = quantize_rows(emb_host.astype(np.float32))
+            self.d_emb_int8 = put(jnp.asarray(q8))
+            self.d_emb_scale = put(jnp.asarray(scale))
+            if self.int8_only:
+                # Maximum-density mode (10M rows on one chip): no bf16 copy;
+                # expanded-node scoring dequantizes gathered int8 rows.
+                self.d_emb = None
+            else:
+                # bf16 copy for expanded-node scoring gathers (small gathers;
+                # dominated by the int8 matmul savings).
+                self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
+            self.d_emb_f32 = None
+        else:
+            self.d_emb_int8 = None
+            self.d_emb_scale = None
+            if self.exact_rescore and emb_host.dtype == np.float32:
+                # Hybrid residency: the top-k kernel streams a bf16 bank
+                # (half the E-read bytes, the throughput floor at large N)
+                # and the exact f32 rows of only the merged candidates are
+                # rescored.  Selection speed of bf16, ranking of f32.
+                self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
+                self.d_emb_f32 = put(jnp.asarray(emb_host))
+            else:
+                self.exact_rescore = 0  # needs an f32 source to rescore
+                self.d_emb_f32 = None
+                self.d_emb = put(jnp.asarray(emb_host))
 
     # ------------------------------------------------------------------
     # Device step construction
@@ -252,44 +311,24 @@ class QueryEngine:
             return rows * bank["emb_scale"][indices][..., None]
         return bank["emb"][indices]
 
-    def _topk_impl(self, q_emb, type_mask, top_k: int, bank):
-        """Dense cosine + masked top-k (single-device path).  The sharded
-        engine overrides this with a shard_map'd local-topk + ICI merge.
+    def _local_select(self, q_emb, bank, type_mask, top_k: int, fetch_k: int):
+        """The configured selection kernel over ONE contiguous row block.
 
-        With `use_pallas=True` the Pallas fused kernel streams index tiles
-        through VMEM and never materializes the [B, N] score matrix."""
+        Returns (values [B, m], LOCAL row indices [B, m]) with
+        m = max(top_k, fetch_k) oversampled candidates (surplus slots are
+        (NEG_INF, -1) fillers); no rescoring is applied here.  Because the
+        indices are local to the given bank block, the same method runs
+        unchanged inside `shard_map` on a row shard — this is how the
+        sharded engine reuses the Pallas/int8/streaming kernels
+        (parallel/sharded_ops.sharded_top_k).
+        """
+        m = max(top_k, fetch_k)
+        merge_k = m if m > top_k else 0
+        interp = self._pallas_interpret
         emb = bank.get("emb")
-
-        def _exact(v, i, rows_fn):
-            """Exact-rescore refinement: re-rank the oversampled candidate
-            set (v, i) by exact f32 dots of `rows_fn(i)` and keep top_k.
-            Invalid slots never win: merge fillers carry idx -1, and rows
-            masked out by the type filter carry -inf/NEG_INF scores (their
-            indices still point at real — but excluded — rows, so rescoring
-            them would resurrect filtered rows)."""
-            valid = (i >= 0) & (v > -1e29)
-            rows = rows_fn(jnp.where(valid, i, 0)).astype(jnp.float32)
-            exact = jnp.einsum(
-                "bd,bmd->bm", q_emb.astype(jnp.float32), rows,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            exact = jnp.where(valid, exact, -1e30)
-            sv, sp = jax.lax.top_k(exact, top_k)
-            return sv, jnp.take_along_axis(i, sp, axis=1)
 
         if self.use_pallas:
             from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k
-
-            # Exact-rescore (bf16 kernel bank + f32 rescore bank): the merge
-            # keeps `exact_rescore` candidates, their f32 rows re-rank.
-            merge_k = (
-                max(top_k, self.exact_rescore) if self.exact_rescore else 0
-            )
-
-            def _refine(v, i):
-                if not merge_k:
-                    return v, i
-                return _exact(v, i, lambda ix: bank["emb_f32"][ix])
 
             pad = emb.shape[0] - type_mask.shape[0]
             if pad:
@@ -319,10 +358,10 @@ class QueryEngine:
                 tile //= 2
 
             if b <= sub_b:
-                return _refine(*pallas_cosine_top_k(
+                return pallas_cosine_top_k(
                     q_emb, emb, type_mask, top_k, tile_n=tile,
-                    merge_k=merge_k,
-                ))
+                    merge_k=merge_k, interpret=interp,
+                )
             pad_b = (-b) % sub_b
             q_padded = (
                 jnp.pad(q_emb, ((0, pad_b), (0, 0))) if pad_b else q_emb
@@ -331,34 +370,19 @@ class QueryEngine:
             v, i = jax.lax.map(
                 lambda qc: pallas_cosine_top_k(
                     qc, emb, type_mask, top_k, tile_n=tile,
-                    merge_k=merge_k,
+                    merge_k=merge_k, interpret=interp,
                 ),
                 q_chunks,
             )
             k_eff = v.shape[-1]
-            return _refine(
-                v.reshape(-1, k_eff)[:b],
-                i.reshape(-1, k_eff)[:b],
-            )
+            return v.reshape(-1, k_eff)[:b], i.reshape(-1, k_eff)[:b]
+
         if self.quantize_int8:
             from hcrag_tpu.ops.quantize import (
                 quantize_queries,
                 quantized_scores,
                 streaming_quantized_top_k,
             )
-
-            # Oversample factor for the exact-rescore refinement: fetch m
-            # int8 candidates per query, rescore those rows exactly, keep k.
-            fetch_k = (
-                max(top_k, self.int8_rescore) if self.int8_rescore else top_k
-            )
-
-            def _rescore(v, i):
-                if not self.int8_rescore:
-                    return v, i
-                return _exact(
-                    v, i, lambda ix: self._gather_emb_rows(ix, bank)
-                )
 
             if self._int8_pallas:
                 from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k_int8
@@ -375,7 +399,10 @@ class QueryEngine:
                 # buffers cost 8 bytes/element).
                 sub_b = min(b, 512)
                 d = e8.shape[1]
-                tile = self.pallas_tile_n
+                # Packed selection encodes the lane in 11 bits — tiles wider
+                # than 2048 silently corrupt the top-k, so clamp here (the
+                # loop below only ever shrinks the tile further).
+                tile = min(self.pallas_tile_n, 2048)
                 while tile > 512 and (
                     8 * sub_b * tile + sub_b * d + 2 * tile * d
                     + 16 * sub_b * 128
@@ -387,10 +414,11 @@ class QueryEngine:
                 # Measured at 1M: in-kernel m=32 cost 3.9x throughput; the
                 # merge-level variant is ~free.
                 if b <= sub_b:
-                    return _rescore(*pallas_cosine_top_k_int8(
+                    return pallas_cosine_top_k_int8(
                         q_emb, e8, bank["emb_scale"], type_mask, top_k,
-                        tile_n=tile, packed_select=True, merge_k=fetch_k,
-                    ))
+                        tile_n=tile, packed_select=True, merge_k=merge_k,
+                        interpret=interp,
+                    )
                 pad_b = (-b) % sub_b
                 q_padded = (
                     jnp.pad(q_emb, ((0, pad_b), (0, 0))) if pad_b else q_emb
@@ -399,43 +427,56 @@ class QueryEngine:
                 v, i = jax.lax.map(
                     lambda qc: pallas_cosine_top_k_int8(
                         qc, e8, bank["emb_scale"], type_mask, top_k,
-                        tile_n=tile, packed_select=True, merge_k=fetch_k,
+                        tile_n=tile, packed_select=True, merge_k=merge_k,
+                        interpret=interp,
                     ),
                     q_chunks,
                 )
                 k_eff = v.shape[-1]
-                return _rescore(
-                    v.reshape(-1, k_eff)[:b], i.reshape(-1, k_eff)[:b]
-                )
+                return v.reshape(-1, k_eff)[:b], i.reshape(-1, k_eff)[:b]
 
             if bank["emb_int8"].shape[0] > (1 << 18):
-                return _rescore(*streaming_quantized_top_k(
-                    q_emb, bank["emb_int8"], bank["emb_scale"], type_mask,
-                    fetch_k,
-                ))
+                return streaming_quantized_top_k(
+                    q_emb, bank["emb_int8"], bank["emb_scale"], type_mask, m,
+                )
             qi, qs = quantize_queries(q_emb.astype(jnp.float32))
-            scores = quantized_scores(qi, qs, bank["emb_int8"], bank["emb_scale"])
-            return _rescore(*masked_top_k(scores, type_mask, fetch_k))
-        fetch_k = max(top_k, self.exact_rescore) if self.exact_rescore else top_k
-
-        def _refine(v, i):
-            if fetch_k == top_k and not self.exact_rescore:
-                return v, i
-            return _exact(v, i, lambda ix: bank["emb_f32"][ix])
+            scores = quantized_scores(
+                qi, qs, bank["emb_int8"], bank["emb_scale"]
+            )
+            return masked_top_k(scores, type_mask, m)
 
         n = emb.shape[0]
         if n > (1 << 18):
             # Large index: stream row chunks (constant compile size, no
             # [B, N] score buffer).
-            return _refine(
-                *streaming_masked_top_k(q_emb, emb, type_mask, fetch_k)
-            )
+            return streaming_masked_top_k(q_emb, emb, type_mask, m)
         scores = jnp.dot(
             q_emb.astype(emb.dtype),
             emb.T,
             preferred_element_type=jnp.float32,
         )  # [B, N] cosine
-        return _refine(*masked_top_k(scores, type_mask, fetch_k))
+        return masked_top_k(scores, type_mask, m)
+
+    def _rescore_m(self) -> int:
+        """Oversample count for the exact-rescore refinement (0 = off)."""
+        return self.int8_rescore if self.quantize_int8 else self.exact_rescore
+
+    def _topk_impl(self, q_emb, type_mask, top_k: int, bank):
+        """Dense cosine + masked top-k (single-device path).  The sharded
+        engine overrides this with a shard_map'd local-select + ICI merge.
+
+        With `use_pallas=True` the Pallas fused kernel streams index tiles
+        through VMEM and never materializes the [B, N] score matrix."""
+        m = self._rescore_m()
+        fetch_k = max(top_k, m) if m else top_k
+        v, i = self._local_select(q_emb, bank, type_mask, top_k, fetch_k)
+        if not m:
+            return v, i
+        if self.quantize_int8:
+            rows_fn = lambda ix: self._gather_emb_rows(ix, bank)  # noqa: E731
+        else:
+            rows_fn = lambda ix: bank["emb_f32"][ix]  # noqa: E731
+        return exact_rescore(q_emb, v, i, rows_fn, top_k)
 
     def _build_step(self, top_k: int, depth: int, max_expanded: int, reduction: int):
         has_graph = self.d_neighbors is not None
@@ -764,18 +805,30 @@ class QueryEngine:
             return {"results": [], "summary": "No items match the filter criteria"}
         q_emb = np.asarray(self.embedder.encode([query])[0])
         res = self.query_batch(q_emb, top_k=top_k, category_filter=category_filter)
+        # Masked-out rows come back as NEG_INF=-1e30 (finite) from the Pallas
+        # kernels, and packed-int8 pad slots carry idx -1 — filter on both,
+        # plus actual mask membership, so only true matches are returned
+        # (reference search_by_category returns matching rows only,
+        # main.py:859-905). Ranks are numbered over the RETURNED list, not
+        # the raw top-k slots, so they are contiguous like the reference's.
+        mask = (
+            np.asarray(self.index.type_mask(category_filter))
+            if category_filter
+            else None
+        )
         results = []
-        for rank, (score, idx) in enumerate(
-            zip(res.top_scores[0], res.top_indices[0])
-        ):
-            if not np.isfinite(score):
+        for score, idx in zip(res.top_scores[0], res.top_indices[0]):
+            idx = int(idx)
+            if idx < 0 or not np.isfinite(score) or score <= -1e29:
+                continue
+            if mask is not None and not mask[idx]:
                 continue
             results.append(
                 {
-                    "rank": rank + 1,
+                    "rank": len(results) + 1,
                     "similarity_score": float(score),
-                    "content": self.index.texts[int(idx)],
-                    "metadata": self.index.metadata[int(idx)],
+                    "content": self.index.texts[idx],
+                    "metadata": self.index.metadata[idx],
                 }
             )
         return {
@@ -802,27 +855,8 @@ class QueryEngine:
         """Re-upload the device bank after `DenseIndex.append` (or other
         host-side index mutation) and drop compiled steps (shapes changed)."""
         index = self.index
-        emb_host = np.asarray(index.emb)
-        self._n_rows = emb_host.shape[0]
-        if self.use_pallas and emb_host.shape[0] % self.pallas_tile_n:
-            pad = self.pallas_tile_n - emb_host.shape[0] % self.pallas_tile_n
-            emb_host = np.pad(emb_host, ((0, pad), (0, 0)))
-        if self.quantize_int8:
-            from hcrag_tpu.ops.quantize import quantize_rows
-
-            q8, scale = quantize_rows(emb_host.astype(np.float32))
-            self.d_emb_int8 = jnp.asarray(q8)
-            self.d_emb_scale = jnp.asarray(scale)
-            self.d_emb = (
-                None
-                if self.d_emb is None
-                else jnp.asarray(emb_host).astype(jnp.bfloat16)
-            )
-        elif self.exact_rescore and emb_host.dtype == np.float32:
-            self.d_emb = jnp.asarray(emb_host).astype(jnp.bfloat16)
-            self.d_emb_f32 = jnp.asarray(emb_host)
-        else:
-            self.d_emb = jnp.asarray(emb_host)
+        self._n_rows = np.asarray(index.emb).shape[0]
+        self._init_emb_banks(self._padded_host_emb(), None)
         self.d_type_ids = jnp.asarray(index.type_ids)
         self.d_bits = jnp.asarray(index.entity_bits)
         self.d_counts = jnp.asarray(index.entity_counts)

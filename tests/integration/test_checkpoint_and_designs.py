@@ -57,6 +57,52 @@ class TestShardedCheckpoint:
         np.testing.assert_array_equal(ref.top_indices, out.top_indices)
         np.testing.assert_allclose(ref.relevance, out.relevance, atol=1e-6)
 
+    @pytest.mark.parametrize(
+        "opts",
+        [
+            {"quantize_int8": True, "int8_rescore": 8},
+            {"quantize_int8": True, "int8_only": True},
+            {"exact_rescore": 8},
+        ],
+        ids=["int8+rescore", "int8_only", "exact_rescore"],
+    )
+    def test_quantized_and_rescore_banks_roundtrip(self, tmp_path, opts):
+        """Engines that select/rescore against emb_int8/emb_scale/emb_f32
+        must checkpoint those banks too — a restore that misses any of them
+        would silently rank against stale tables (round-1 advisor finding)."""
+        from hcrag_tpu.parallel.checkpoint import (
+            restore_sharded_index,
+            save_sharded_index,
+        )
+        from hcrag_tpu.parallel.mesh import make_row_mesh
+        from hcrag_tpu.parallel.sharded_engine import ShardedQueryEngine
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        mesh = make_row_mesh()
+        index = synthetic_dense_index(512, 128, seed=3)
+        engine = ShardedQueryEngine(index, None, mesh=mesh, **opts)
+        q = np.asarray(index.emb[13], np.float32)
+        ref = engine.query_batch(q, top_k=5)
+        save_sharded_index(engine, tmp_path / "ck3")
+
+        engine2 = ShardedQueryEngine(
+            synthetic_dense_index(512, 128, seed=44), None, mesh=mesh, **opts
+        )
+        other = engine2.query_batch(q, top_k=5)
+        assert not np.array_equal(ref.top_indices, other.top_indices)
+        restore_sharded_index(engine2, tmp_path / "ck3")
+        out = engine2.query_batch(q, top_k=5)
+        np.testing.assert_array_equal(ref.top_indices, out.top_indices)
+        np.testing.assert_allclose(ref.top_scores, out.top_scores, atol=1e-6)
+        if engine.d_emb_int8 is not None:
+            np.testing.assert_array_equal(
+                np.asarray(engine2.d_emb_int8), np.asarray(engine.d_emb_int8)
+            )
+        if engine.d_emb_f32 is not None:
+            np.testing.assert_array_equal(
+                np.asarray(engine2.d_emb_f32), np.asarray(engine.d_emb_f32)
+            )
+
 
 class TestScorerDesigns:
     def test_v1_composite_and_explain(self):

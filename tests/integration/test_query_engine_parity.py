@@ -38,10 +38,14 @@ def raw_embeddings(reference_pickle_path):
 
 
 @pytest.fixture(scope="module")
-def engine(reference_pickle_path):
-    bundle = build_adventureworks(
+def bundle(reference_pickle_path):
+    return build_adventureworks(
         DATA_DIR, reference_pickle=reference_pickle_path
     )
+
+
+@pytest.fixture(scope="module")
+def engine(bundle):
     return QueryEngine(bundle.index, bundle.graph)
 
 
@@ -108,6 +112,29 @@ class TestRetrievalParity:
         empty = engine.search_by_category("anything", "nonexistent_type")
         assert empty["results"] == []
         assert empty["summary"] == "No items match the filter criteria"
+
+    def test_search_by_category_never_leaks_masked_rows(self, bundle):
+        """With the Pallas kernels, masked-out rows carry NEG_INF=-1e30
+        (finite) scores and packed int8 pad slots carry idx -1; when the
+        category has fewer matches than top_k, only true matches may be
+        returned (reference: main.py:859-905 filters indices up front) and
+        ranks must be contiguous over the returned list."""
+        from hcrag_tpu.query.engine import QueryEngine as QE
+
+        for opts in (
+            {"use_pallas": True, "pallas_interpret": True},
+            {"quantize_int8": True, "pallas_interpret": True},
+        ):
+            eng = QE(bundle.index, bundle.graph, **opts)
+            # json_table has only 6 rows in the artifact; ask for 10.
+            out = eng.search_by_category("product table", "json_table", top_k=10)
+            assert 0 < len(out["results"]) <= 6, opts
+            for r in out["results"]:
+                assert r["metadata"]["type"] == "json_table", opts
+                assert r["similarity_score"] > -1e29, opts
+            assert [r["rank"] for r in out["results"]] == list(
+                range(1, len(out["results"]) + 1)
+            ), opts
 
 
 class TestFusedRelevance:

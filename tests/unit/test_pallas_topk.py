@@ -124,6 +124,44 @@ class TestPackedSelectExperimental:
         assert err.max() < 2e-3
 
 
+class TestPackedTileGuard:
+    """Packed selection encodes the lane in 11 bits; tiles wider than 2048
+    would silently corrupt the top-k (the true rank-1 hit goes missing), so
+    both kernels must refuse packed_select with tile_n > 2048."""
+
+    def test_int8_kernel_rejects_wide_packed_tile(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from hcrag_tpu.ops.quantize import quantize_rows
+        from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k_int8
+
+        q, e = _setup(4096, 128, 2, seed=3)
+        e8, scale = quantize_rows(e)
+        with _pytest.raises(AssertionError, match="11 bits"):
+            pallas_cosine_top_k_int8(
+                jnp.asarray(q), jnp.asarray(e8), jnp.asarray(scale),
+                jnp.ones(4096, bool), 10,
+                tile_n=4096, interpret=True, packed_select=True,
+            )
+
+    def test_engine_clamps_wide_tile_for_int8(self, rng):
+        """A user-set pallas_tile_n=4096 must not corrupt the int8 packed
+        path: the engine clamps the tile to 2048 and the query's own row
+        still ranks first."""
+        from hcrag_tpu.query.engine import QueryEngine
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        index = synthetic_dense_index(4096, 128, seed=5)
+        eng = QueryEngine(
+            index, None, quantize_int8=True, pallas_interpret=True,
+            pallas_tile_n=4096,
+        )
+        q = np.asarray(index.emb[37], dtype=np.float32)
+        res = eng.query_batch(q, top_k=5)
+        assert int(res.top_indices[0][0]) == 37
+
+
 class TestInt8KernelInterpret:
     """Int8 fused kernel under interpret=True, incl. merge-level oversample."""
 
