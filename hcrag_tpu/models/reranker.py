@@ -140,3 +140,163 @@ def build_candidate_features(
     reranker feature tensor [..., NUM_FEATURES]."""
     sem, llm, ent, typ = relevance_metrics
     return np.stack([sem, llm, ent, typ, top_scores], axis=-1).astype(np.float32)
+
+
+def _popcount_rows(bits: np.ndarray) -> np.ndarray:
+    """Popcount over the last (uint32-words) axis of a host bitset array."""
+    return np.unpackbits(
+        bits.view(np.uint8).reshape(bits.shape[:-1] + (-1,)), axis=-1
+    ).sum(axis=-1).astype(np.int32)
+
+
+def engine_candidate_features(
+    engine,
+    res,
+    intents=None,
+    entity_lists=None,
+) -> np.ndarray:
+    """Host-side feature stack [B, k, NUM_FEATURES] for a QueryBatchResult's
+    retrieved candidates: the SAME metric formulas the device step fuses
+    (semantic (cos+1)/2, entity bitset match incl. the 0.5/0.1 empty-set
+    rules, priority-matrix gather) — with the llm column ZERO, because the
+    judge score is unknown at query time.  This is the inference-side input
+    of the judge-aware distillation: the reranker was trained on the same
+    zeroed column to predict judge-INCLUSIVE ordering from the cheap
+    metrics."""
+    from hcrag_tpu.core.types import PRIORITY_MATRIX
+
+    idx = np.asarray(res.top_indices)
+    cos = np.asarray(res.top_scores, dtype=np.float32)
+    b, k = idx.shape
+    safe = np.clip(idx, 0, len(engine.index.type_ids) - 1)
+
+    sem = (cos + 1.0) * 0.5
+    llm = np.zeros_like(sem)
+
+    if intents is None:
+        intent_ids = np.zeros(b, np.int32)
+    else:
+        intent_ids = np.array([i.index for i in intents], np.int32)
+    typ = np.asarray(PRIORITY_MATRIX, np.float32)[
+        intent_ids[:, None], engine.index.type_ids[safe]
+    ]
+
+    vocab = engine.index.vocab
+    q_bits = np.zeros((b, vocab.num_words), np.uint32)
+    q_oov = np.zeros(b, np.int32)
+    if entity_lists is not None:
+        for i, ents in enumerate(entity_lists):
+            q_bits[i], q_oov[i] = vocab.encode(ents)
+    row_bits = engine.index.entity_bits[safe]  # [B, k, W]
+    row_counts = engine.index.entity_counts[safe]
+    q_count = _popcount_rows(q_bits) + q_oov  # [B]
+    inter = _popcount_rows(q_bits[:, None, :] & row_bits)  # [B, k]
+    ratio = inter.astype(np.float32) / np.maximum(
+        q_count[:, None].astype(np.float32), 1.0
+    )
+    ent = np.where(
+        (q_count == 0)[:, None],
+        np.where(row_counts == 0, 0.5, 0.1),
+        ratio,
+    ).astype(np.float32)
+
+    return build_candidate_features(cos, (sem, llm, ent, typ))
+
+
+def distill_judge_aware(
+    engine,
+    reranker: Reranker,
+    query_texts,
+    query_embs: np.ndarray,
+    *,
+    intents=None,
+    entity_lists=None,
+    judge_fn=None,
+    weights=None,
+    top_m: int = 20,
+    epochs: int = 30,
+    seed: int = 0,
+    label_temp: float = 10.0,
+) -> dict:
+    """Train the reranker to produce judge-AWARE ordering without query-time
+    LLM calls.
+
+    Teacher: the reference's full combined score over each query's top-m
+    candidates — `0.7 * composite(sem, JUDGE, ent, typ) + 0.3 * cosine`
+    (enhanced_rag_system.py:148, isRelevant.py:479-482) with the judge
+    column REAL (an LLM endpoint, or the reference's deterministic
+    word-overlap heuristic, isRelevant.py:288-297).
+    Student: the same candidates' features with the judge column ZERO —
+    what's available at query time.  The MLP learns the judge's
+    text-relevance signal from its correlation with the cheap metrics.
+
+    Returns {"losses": per-epoch losses, "features", "labels"}.
+    """
+    from hcrag_tpu.core.types import CompositeWeights
+
+    w = weights or CompositeWeights()
+    if judge_fn is None:
+        from hcrag_tpu.core.types import NodeInput, QueryInput
+        from hcrag_tpu.pipeline.isrelevant import overlap_fallback_scores
+
+        def judge_fn(q_text, cand_texts):
+            q = QueryInput(
+                text=q_text, embeddings=None, entities=[], intent=None
+            )
+            nodes = [
+                NodeInput(
+                    text=t, embeddings=None, graph_relations={},
+                    node_type="unknown", entities=[],
+                )
+                for t in cand_texts
+            ]
+            return np.asarray(overlap_fallback_scores(q, nodes), np.float32)
+
+    res = engine.query_batch(
+        query_embs, top_k=top_m, intents=intents, entity_lists=entity_lists
+    )
+    feats = engine_candidate_features(
+        engine, res, intents=intents, entity_lists=entity_lists
+    )  # [B, m, F] — llm column zero (student input)
+
+    judge = np.stack(
+        [
+            judge_fn(
+                query_texts[i],
+                [engine.index.texts[int(j)] for j in res.top_indices[i]],
+            )
+            for i in range(len(query_texts))
+        ]
+    ).astype(np.float32)  # [B, m] — teacher-only signal
+
+    sem, _, ent, typ, cos = np.moveaxis(feats, -1, 0)
+    teacher_rel = (
+        w.semantic_similarity * sem
+        + w.llm_judge * judge
+        + w.entity_match * ent
+        + w.node_type_priority * typ
+    )
+    labels = 0.7 * teacher_rel + 0.3 * cos  # the reference's combined blend
+
+    # Teacher scores live in ~[0, 1]; a raw softmax over them is near
+    # uniform (entropy ~ln m), drowning the ordering signal.  Temperature
+    # scaling peaks the target distribution on the actual ranking.
+    losses = reranker.fit_distill(
+        feats, labels * label_temp, epochs=epochs, seed=seed
+    )
+    return {"losses": losses, "features": feats, "labels": labels}
+
+
+def ndcg_at_k(pred_order: np.ndarray, true_scores: np.ndarray, k: int) -> float:
+    """Mean NDCG@k of a predicted ordering against teacher scores.
+
+    pred_order [B, M]: candidate positions sorted by the predicted score;
+    true_scores [B, M]: the teacher's relevance per original position."""
+    b, m = pred_order.shape
+    k = min(k, m)
+    discounts = 1.0 / np.log2(np.arange(2, k + 2))
+    gains = np.take_along_axis(true_scores, pred_order[:, :k], axis=1)
+    dcg = (gains * discounts).sum(axis=1)
+    ideal = np.sort(true_scores, axis=1)[:, ::-1][:, :k]
+    idcg = (ideal * discounts).sum(axis=1)
+    return float(np.mean(dcg / np.maximum(idcg, 1e-9)))

@@ -37,6 +37,22 @@ def quantize_rows(emb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale
 
 
+def quantize_residual(
+    emb: np.ndarray, q8: np.ndarray, scale: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Second-level int8 quantization of the first level's residual.
+
+    Reconstruction  row ~= q8*scale + r8*rscale  carries ~1/127 of the
+    first-level error (relative error ~3e-5 — finer than bf16 rounding), so
+    candidate rescoring against the reconstruction recovers exact-match
+    recall while the SELECTION bank stays 1 byte/element.  Storage:
+    int8+residual = 2 bytes/element (the bf16 copy it replaces costs the
+    same, but would double the bytes STREAMED by the selection kernel)."""
+    emb = np.asarray(emb, dtype=np.float32)
+    resid = emb - q8.astype(np.float32) * scale[:, None]
+    return quantize_rows(resid)
+
+
 def quantized_scores(
     q_int8: jnp.ndarray,
     q_scale: jnp.ndarray,

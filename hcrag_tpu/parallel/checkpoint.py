@@ -32,6 +32,8 @@ _BANK_ATTRS = (
     ("emb_int8", "d_emb_int8"),
     ("emb_scale", "d_emb_scale"),
     ("emb_f32", "d_emb_f32"),
+    ("emb_res8", "d_emb_res8"),
+    ("emb_res_scale", "d_emb_res_scale"),
     ("type_ids", "d_type_ids"),
     ("entity_bits", "d_bits"),
     ("entity_counts", "d_counts"),

@@ -112,11 +112,18 @@ class ShardedQueryEngine(QueryEngine):
         rows = row_sharding(self.mesh)
         put_rows = lambda arr: jax.device_put(arr, rows)  # noqa: E731
         if self.quantize_int8:
-            from hcrag_tpu.ops.quantize import quantize_rows
+            from hcrag_tpu.ops.quantize import quantize_residual, quantize_rows
 
             q8, scale = quantize_rows(emb_host.astype(np.float32))
             self.d_emb_int8 = put_rows(q8)
             self.d_emb_scale = put_rows(scale)
+            if self.int8_residual:
+                r8, rscale = quantize_residual(emb_host, q8, scale)
+                self.d_emb_res8 = put_rows(r8)
+                self.d_emb_res_scale = put_rows(rscale)
+            else:
+                self.d_emb_res8 = None
+                self.d_emb_res_scale = None
             self.d_emb = (
                 None
                 if self.int8_only
@@ -126,6 +133,8 @@ class ShardedQueryEngine(QueryEngine):
         else:
             self.d_emb_int8 = None
             self.d_emb_scale = None
+            self.d_emb_res8 = None
+            self.d_emb_res_scale = None
             if self.exact_rescore and emb_host.dtype == np.float32:
                 self.d_emb = put_rows(emb_host.astype(jnp.bfloat16))
                 self.d_emb_f32 = put_rows(emb_host)
@@ -149,10 +158,21 @@ class ShardedQueryEngine(QueryEngine):
 
         repl = NamedSharding(self.mesh, P())
         if "emb" not in bank:
-            # int8-only residency: dequantize gathered rows on the fly.
-            rows = bank["emb_int8"].at[indices].get(out_sharding=repl)
-            scale = bank["emb_scale"].at[indices].get(out_sharding=repl)
-            return rows.astype(jnp.float32) * scale[..., None]
+            # int8-only residency: dequantize gathered rows on the fly
+            # (+ the residual level when present).
+            rows = (
+                bank["emb_int8"].at[indices].get(out_sharding=repl)
+                .astype(jnp.float32)
+                * bank["emb_scale"].at[indices].get(out_sharding=repl)[..., None]
+            )
+            if "emb_res8" in bank:
+                rows = rows + (
+                    bank["emb_res8"].at[indices].get(out_sharding=repl)
+                    .astype(jnp.float32)
+                    * bank["emb_res_scale"].at[indices]
+                    .get(out_sharding=repl)[..., None]
+                )
+            return rows
         return bank["emb"].at[indices].get(out_sharding=repl)
 
     def _topk_impl(self, q_emb, type_mask, top_k: int, bank):
@@ -167,19 +187,33 @@ class ShardedQueryEngine(QueryEngine):
 
         # Row-sharded banks handed to the shard-local kernel (+ rescore).
         banks = {}
-        for key in ("emb", "emb_int8", "emb_scale", "emb_f32"):
+        for key in (
+            "emb", "emb_int8", "emb_scale", "emb_f32",
+            "emb_res8", "emb_res_scale",
+        ):
             if key in bank:
                 banks[key] = bank[key]
         m = self._rescore_m()
+        rescore_rows = None
         if m:
-            rescore_key = "emb" if self.quantize_int8 else "emb_f32"
-        else:
-            rescore_key = None
+            if not self.quantize_int8:
+                rescore_rows = lambda bl, ix: bl["emb_f32"][ix]  # noqa: E731
+            elif self.int8_residual:
+                # int8-only + residual: reconstruct q8*s + r8*rs per shard.
+                def rescore_rows(bl, ix):  # noqa: E731
+                    return (
+                        bl["emb_int8"][ix].astype(jnp.float32)
+                        * bl["emb_scale"][ix][..., None]
+                        + bl["emb_res8"][ix].astype(jnp.float32)
+                        * bl["emb_res_scale"][ix][..., None]
+                    )
+            else:
+                rescore_rows = lambda bl, ix: bl["emb"][ix]  # noqa: E731
         return sharded_top_k(
             self.mesh, q_emb, None, top_k, mask,
             batch_axis=self.batch_axis,
             banks=banks,
             local_select=self._local_select,
             fetch_k=max(top_k, m) if m else 0,
-            rescore_key=rescore_key,
+            rescore_rows=rescore_rows,
         )

@@ -41,6 +41,7 @@ def sharded_top_k(
     local_select=None,
     fetch_k: int = 0,
     rescore_key: Optional[str] = None,
+    rescore_rows=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cosine + top-k over a row-sharded index.
 
@@ -70,6 +71,9 @@ def sharded_top_k(
         rescore itself is distributed: each shard scores only the candidates
         it OWNS (zero elsewhere) and a psum of the [B, fetch_k] score matrix
         — not the [B, fetch_k, D] rows — rides ICI.
+      rescore_rows: alternative to `rescore_key`: a callable
+        `(banks_local, local_idx) -> [B, m, D] rows` reconstructing the
+        exact rows from the local banks (e.g. int8 + residual dequant).
 
     Returns (values [B, k], global indices [B, k]) — replicated, or
     batch-sharded when `batch_axis` is given.
@@ -93,6 +97,9 @@ def sharded_top_k(
         " index at build time"
     )
     fk = max(top_k, fetch_k)
+    do_rescore = rescore_rows is not None or rescore_key is not None
+    if rescore_rows is None and rescore_key is not None:
+        rescore_rows = lambda bl, ix: bl[rescore_key][ix]  # noqa: E731
 
     def default_select(q, banks_local, mask_local, k_out, m_out):
         emb_local = banks_local["emb"]
@@ -120,22 +127,21 @@ def sharded_top_k(
         i_all = jax.lax.all_gather(i_glob, ROWS_AXIS)
         v_cat = jnp.moveaxis(v_all, 0, 1).reshape(q.shape[0], -1)
         i_cat = jnp.moveaxis(i_all, 0, 1).reshape(q.shape[0], -1)
-        keep = top_k if rescore_key is None else min(fk, v_cat.shape[1])
+        keep = top_k if not do_rescore else min(fk, v_cat.shape[1])
         v_m, pos = jax.lax.top_k(v_cat, keep)
         i_m = jnp.take_along_axis(i_cat, pos, axis=1)
-        if rescore_key is None:
+        if not do_rescore:
             return v_m, i_m
 
         # Distributed exact rescore: each shard computes exact f32 scores
         # for the merged candidates it OWNS (others contribute zero) and a
         # psum over ICI assembles the [B, m] exact-score matrix — B*m*4
         # bytes on the wire instead of the B*m*D*4 a row-gather would cost.
-        table = banks_local[rescore_key]
         local = i_m - shard_id * rows_per_shard
         valid = (i_m >= 0) & (v_m > -1e29)
         own = valid & (local >= 0) & (local < rows_per_shard)
         safe = jnp.clip(local, 0, rows_per_shard - 1)
-        rows = table[safe].astype(jnp.float32)  # [B, m, D]
+        rows = rescore_rows(banks_local, safe).astype(jnp.float32)  # [B,m,D]
         exact = jnp.einsum(
             "bd,bmd->bm", q.astype(jnp.float32), rows,
             precision=jax.lax.Precision.HIGHEST,

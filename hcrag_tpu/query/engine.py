@@ -75,6 +75,9 @@ class QueryBatchResult:
     expanded_nodes: np.ndarray  # [B, max_expanded] graph node ids (-1 pad)
     expanded_counts: np.ndarray  # [B]
     expanded_relevance: np.ndarray  # [B, max_expanded]
+    #: Learned re-ranker scores [B, k] (None unless rerank=True; when set,
+    #: every [B, k] field above is reordered by these, descending).
+    rerank_scores: Optional[np.ndarray] = None
 
 
 def exact_rescore(q_emb, v, i, rows_fn, top_k: int):
@@ -110,6 +113,7 @@ class QueryEngine:
         pallas_tile_n: int = 2048,
         quantize_int8: bool = False,
         int8_only: bool = False,
+        int8_residual: bool = False,
         int8_rescore: int = 0,
         exact_rescore: int = 0,
         pallas_interpret: Optional[bool] = None,
@@ -153,9 +157,20 @@ class QueryEngine:
         #: rescored in f32 — int8 selection speed, near-exact final ranking.
         #: Needs the bf16 copy, so it is off in int8-only residency mode.
         self.int8_only = bool(int8_only)
+        #: Residual-refined max-density mode: the selection bank stays int8
+        #: (1 byte/elem streamed) and a SECOND int8 bank quantizes the
+        #: first level's residual — candidate gathers reconstruct
+        #: q8*s + r8*rs (relative error ~3e-5, finer than bf16), giving the
+        #: int8-only 10M-rows-on-one-chip mode an exact-rescore source
+        #: (round-1 gap: int8-only recall was 0.95 with nothing to rescore
+        #: against).  Implies int8-only residency (no bf16 copy).
+        self.int8_residual = bool(int8_residual) and quantize_int8
+        if self.int8_residual:
+            self.int8_only = True
         self.int8_rescore = (
             max(0, int(int8_rescore))
-            if (quantize_int8 and not int8_only) else 0
+            if (quantize_int8 and (not self.int8_only or self.int8_residual))
+            else 0
         )
         #: Float-path analogue (`exact_rescore=m`): the kernel bank drops to
         #: bf16 and an f32 bank is kept for candidate rescoring — bf16 input
@@ -245,9 +260,19 @@ class QueryEngine:
             q8, scale = quantize_rows(emb_host.astype(np.float32))
             self.d_emb_int8 = put(jnp.asarray(q8))
             self.d_emb_scale = put(jnp.asarray(scale))
+            if self.int8_residual:
+                from hcrag_tpu.ops.quantize import quantize_residual
+
+                r8, rscale = quantize_residual(emb_host, q8, scale)
+                self.d_emb_res8 = put(jnp.asarray(r8))
+                self.d_emb_res_scale = put(jnp.asarray(rscale))
+            else:
+                self.d_emb_res8 = None
+                self.d_emb_res_scale = None
             if self.int8_only:
                 # Maximum-density mode (10M rows on one chip): no bf16 copy;
-                # expanded-node scoring dequantizes gathered int8 rows.
+                # expanded-node scoring dequantizes gathered int8 rows
+                # (+ residual when enabled).
                 self.d_emb = None
             else:
                 # bf16 copy for expanded-node scoring gathers (small gathers;
@@ -257,6 +282,8 @@ class QueryEngine:
         else:
             self.d_emb_int8 = None
             self.d_emb_scale = None
+            self.d_emb_res8 = None
+            self.d_emb_res_scale = None
             if self.exact_rescore and emb_host.dtype == np.float32:
                 # Hybrid residency: the top-k kernel streams a bf16 bank
                 # (half the E-read bytes, the throughput floor at large N)
@@ -294,6 +321,9 @@ class QueryEngine:
         if self.quantize_int8:
             bank["emb_int8"] = self.d_emb_int8
             bank["emb_scale"] = self.d_emb_scale
+        if getattr(self, "d_emb_res8", None) is not None:
+            bank["emb_res8"] = self.d_emb_res8
+            bank["emb_res_scale"] = self.d_emb_res_scale
         if self.d_neighbors is not None:
             bank["neighbors"] = self.d_neighbors
             bank["neighbors_hop2"] = self.d_neighbors_hop2
@@ -305,10 +335,19 @@ class QueryEngine:
         """Gather embedding rows at arbitrary indices ([..., D]).  Overridden
         by the sharded engine: a gather from a row-sharded table needs an
         explicit replicated out-sharding (XLA inserts the collective).  In
-        int8-only mode, gathered rows dequantize on the fly."""
+        int8-only mode, gathered rows dequantize on the fly (+ the residual
+        level when `int8_residual` — relative error ~3e-5)."""
         if "emb" not in bank:
-            rows = bank["emb_int8"][indices].astype(jnp.float32)
-            return rows * bank["emb_scale"][indices][..., None]
+            rows = (
+                bank["emb_int8"][indices].astype(jnp.float32)
+                * bank["emb_scale"][indices][..., None]
+            )
+            if "emb_res8" in bank:
+                rows = rows + (
+                    bank["emb_res8"][indices].astype(jnp.float32)
+                    * bank["emb_res_scale"][indices][..., None]
+                )
+            return rows
         return bank["emb"][indices]
 
     def _local_select(self, q_emb, bank, type_mask, top_k: int, fetch_k: int):
@@ -695,8 +734,13 @@ class QueryEngine:
             self._d_zero_bits = cache
         return cache[(b, w)]
 
-    def query_batch(self, query_embs, **kwargs) -> QueryBatchResult:
+    def query_batch(
+        self, query_embs, *, rerank: bool = False, **kwargs
+    ) -> QueryBatchResult:
         """Blocking wrapper over `query_batch_device` returning host arrays.
+
+        `rerank=True` applies the engine's learned re-ranker (set via
+        `set_reranker`) as a final host-side stage over the k candidates.
 
         Retries once on transient runtime unavailability (this environment's
         remote-compile RPC can drop mid-compile; a retry re-enters the
@@ -723,7 +767,55 @@ class QueryEngine:
             "top_scores", "top_indices", "relevance", "combined",
             "expanded_nodes", "expanded_counts", "expanded_relevance",
         )
-        return QueryBatchResult(**{n: np.asarray(v) for n, v in zip(names, out)})
+        res = QueryBatchResult(
+            **{n: np.asarray(v) for n, v in zip(names, out)}
+        )
+        if rerank:
+            res = self.rerank_result(
+                res,
+                intents=kwargs.get("intents"),
+                entity_lists=kwargs.get("entity_lists"),
+            )
+        return res
+
+    # ------------------------------------------------------------------
+    # Learned re-ranking (optional final stage; see models/reranker.py)
+    # ------------------------------------------------------------------
+    def set_reranker(self, reranker) -> None:
+        """Attach a trained `models.reranker.Reranker` as the optional final
+        ranking stage (`query_batch(..., rerank=True)`).  Beyond-reference
+        capability: the reranker distills judge-AWARE combined ranking
+        (0.7*composite(sem, judge, ent, typ) + 0.3*cos) into an MLP over the
+        judge-free metrics, so ordering approximates the LLM-judge blend
+        with zero query-time LLM calls."""
+        self.reranker = reranker
+
+    def rerank_result(
+        self, res: QueryBatchResult, intents=None, entity_lists=None
+    ) -> QueryBatchResult:
+        """Reorder a result's top-k by the learned re-ranker's scores."""
+        reranker = getattr(self, "reranker", None)
+        if reranker is None:
+            return res
+        from hcrag_tpu.models.reranker import engine_candidate_features
+
+        feats = engine_candidate_features(
+            self, res, intents=intents, entity_lists=entity_lists
+        )
+        scores = reranker.score(feats)  # [B, k]
+        # Invalid candidate slots (padded merges) must stay at the bottom.
+        invalid = (res.top_indices < 0) | (res.top_scores <= -1e29)
+        scores = np.where(invalid, -np.inf, scores)
+        order = np.argsort(-scores, axis=1, kind="stable")
+        take = lambda a: np.take_along_axis(a, order, axis=1)  # noqa: E731
+        return dataclasses.replace(
+            res,
+            top_scores=take(res.top_scores),
+            top_indices=take(res.top_indices),
+            relevance=take(res.relevance),
+            combined=take(res.combined),
+            rerank_scores=take(scores),
+        )
 
     # ------------------------------------------------------------------
     # Reference-shaped host API

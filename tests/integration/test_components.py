@@ -263,3 +263,64 @@ class TestTiming:
             graph_centrality_scores(jnp.asarray([0, 25, 50, 500]))
         )
         np.testing.assert_allclose(out, [0.0, 0.5, 1.0, 1.0], atol=1e-6)
+
+
+class TestRerankerIntegration:
+    """The learned re-ranker as QueryEngine's optional final stage
+    (set_reranker + query_batch(rerank=True)); trained by judge-aware
+    distillation (models/reranker.py::distill_judge_aware, measured in
+    benchmarks/reranker_eval.py)."""
+
+    def test_rerank_reorders_by_learned_scores(self):
+        import numpy as np
+
+        from hcrag_tpu.models.reranker import Reranker
+        from hcrag_tpu.query.engine import QueryEngine
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        index = synthetic_dense_index(512, 64, seed=2)
+        engine = QueryEngine(index, None)
+        engine.set_reranker(Reranker(hidden=8, seed=1))
+        q = np.asarray(index.emb[9], np.float32)
+        plain = engine.query_batch(q, top_k=10)
+        rr = engine.query_batch(q, top_k=10, rerank=True)
+        # same candidate SET, reordered by the reranker's scores
+        assert set(rr.top_indices[0].tolist()) == set(
+            plain.top_indices[0].tolist()
+        )
+        assert rr.rerank_scores is not None
+        s = rr.rerank_scores[0]
+        assert all(s[i] >= s[i + 1] for i in range(len(s) - 1))
+        # paired fields stay aligned: scores follow their indices
+        pos = {int(ix): j for j, ix in enumerate(plain.top_indices[0])}
+        for j, ix in enumerate(rr.top_indices[0]):
+            assert rr.top_scores[0][j] == plain.top_scores[0][pos[int(ix)]]
+
+    def test_distill_learns_teacher_ordering(self):
+        import numpy as np
+
+        from hcrag_tpu.models.reranker import (
+            Reranker,
+            distill_judge_aware,
+            engine_candidate_features,
+            ndcg_at_k,
+        )
+        from hcrag_tpu.query.engine import QueryEngine
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        index = synthetic_dense_index(1024, 64, seed=5)
+        engine = QueryEngine(index, None)
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((32, 64)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        texts = [f"query {i}" for i in range(32)]
+        rr = Reranker(hidden=16, learning_rate=3e-3, seed=0)
+        out = distill_judge_aware(
+            engine, rr, texts, q, top_m=10, epochs=30, seed=0
+        )
+        assert np.isfinite(out["losses"]).all()
+        # the student orders the TRAIN candidates close to the teacher
+        res = engine.query_batch(q, top_k=10)
+        feats = engine_candidate_features(engine, res)
+        pred = np.argsort(-rr.score(feats), axis=1, kind="stable")
+        assert ndcg_at_k(pred, out["labels"], 10) > 0.95

@@ -118,6 +118,67 @@ class TestInt8Rescore:
         assert all(100 <= int(x) < 200 for x in r.top_indices[0])
 
 
+class TestInt8Residual:
+    """Residual-refined max-density mode: int8 selection bank + int8
+    residual bank; candidate rescoring reconstructs rows at ~3e-5 relative
+    error, giving int8-only residency an exact-rescore source."""
+
+    def test_reconstruction_error_tiny(self):
+        from hcrag_tpu.ops.quantize import quantize_residual, quantize_rows
+
+        rng = np.random.default_rng(2)
+        emb = rng.standard_normal((256, 128)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q8, s = quantize_rows(emb)
+        r8, rs = quantize_residual(emb, q8, s)
+        recon = q8.astype(np.float32) * s[:, None] + (
+            r8.astype(np.float32) * rs[:, None]
+        )
+        assert np.abs(recon - emb).max() < 1e-4
+
+    def test_residual_rescore_recovers_exact_ranking(self):
+        idx = synthetic_dense_index(4000, 128, seed=7)
+        e32 = QueryEngine(idx, None)
+        e8r = QueryEngine(
+            idx, None, quantize_int8=True, int8_residual=True,
+            int8_rescore=40,
+        )
+        assert e8r.int8_only and e8r.int8_rescore == 40
+        assert e8r.d_emb is None and e8r.d_emb_res8 is not None
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal((8, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        r32 = e32.query_batch(q, top_k=10)
+        r8 = e8r.query_batch(q, top_k=10)
+        overlap = np.mean(
+            [
+                len(set(r32.top_indices[i]) & set(r8.top_indices[i])) / 10
+                for i in range(8)
+            ]
+        )
+        assert overlap >= 0.99
+        # final scores are near-exact reconstructions, closer than bf16
+        assert np.abs(r32.top_scores - r8.top_scores).max() < 3e-4
+
+    def test_residual_sharded_matches_single(self):
+        import jax
+
+        from hcrag_tpu.parallel.mesh import make_row_mesh
+        from hcrag_tpu.parallel.sharded_engine import ShardedQueryEngine
+
+        assert len(jax.devices()) == 8
+        idx = synthetic_dense_index(2048, 128, seed=12)
+        opts = dict(quantize_int8=True, int8_residual=True, int8_rescore=24)
+        single = QueryEngine(idx, None, **opts)
+        sharded = ShardedQueryEngine(idx, None, mesh=make_row_mesh(), **opts)
+        rng = np.random.default_rng(3)
+        q = rng.standard_normal((4, 128)).astype(np.float32)
+        r1 = single.query_batch(q, top_k=10)
+        r2 = sharded.query_batch(q, top_k=10)
+        np.testing.assert_array_equal(r1.top_indices, r2.top_indices)
+        np.testing.assert_allclose(r1.top_scores, r2.top_scores, atol=1e-5)
+
+
 class TestInt8Only:
     def test_int8_only_mode_no_bf16_copy(self):
         idx = synthetic_dense_index(2000, 64, seed=3)
