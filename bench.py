@@ -60,7 +60,17 @@ def run_direct():
     # candidate rescoring) -> exact-match recall at bf16 selection speed.
     # BENCH_RESCORE=0 falls back to single-dtype residency.
     rescore = int(os.environ.get("BENCH_RESCORE", 32))
-    if quantize_int8 or (dtype == "bfloat16" and not rescore):
+    # int8 residency mode: "" = int8 + bf16 rescore copy; "only" = no
+    # rescore source (max density); "residual" = int8 + int8-residual
+    # rescore bank (2 bytes/elem stored, 1 byte/elem streamed — the 10M
+    # one-chip config with exact-rescore recall).
+    int8_mode = os.environ.get("BENCH_INT8_MODE", "")
+    # Residual mode quantizes from TRUE f32 (the residual must capture the
+    # f32 values, not bf16-rounded ones, to recover exact-match recall);
+    # other int8/bf16 modes downcast the host index to halve transfer.
+    if (quantize_int8 and int8_mode != "residual") or (
+        dtype == "bfloat16" and not rescore
+    ):
         import ml_dtypes
 
         index.emb = emb_f32.astype(ml_dtypes.bfloat16)
@@ -70,6 +80,8 @@ def run_direct():
     engine = QueryEngine(
         index, graph, ell_max_degree=8, use_pallas=use_pallas,
         quantize_int8=quantize_int8,
+        int8_only=int8_mode == "only",
+        int8_residual=int8_mode == "residual",
         int8_rescore=rescore,
         exact_rescore=rescore if dtype == "bfloat16" else 0,
     )
@@ -117,6 +129,26 @@ def run_direct():
         f"({1000 * elapsed / steps:.1f} ms/batch, pipelined)"
     )
 
+    # --- measured bandwidth artifact ---------------------------------------
+    # The retrieval step is HBM-bandwidth-bound at large N: the dominant
+    # traffic is one full read of the SELECTION bank per sub-batch pass
+    # (the fused kernel writes only [B, k] candidates; rescore gathers are
+    # m*B rows — noise).  bytes/step and the implied effective GB/s make
+    # the "memory-bandwidth speed-of-light" claim checkable from the JSON.
+    if quantize_int8:
+        sel_bytes, sub_b = 1, 512
+        n_bank = engine.d_emb_int8.shape[0]
+    else:
+        sel_bytes = np.dtype(np.asarray(engine.d_emb).dtype).itemsize
+        sub_b, n_bank = 1024, engine.d_emb.shape[0]
+    passes = -(-batch // sub_b)  # bank re-read per lax.map sub-batch chunk
+    bank_bytes_per_step = n_bank * dim * sel_bytes * passes
+    eff_gbps = bank_bytes_per_step / (elapsed / steps) / 2**30
+    log(
+        f"bank read: {bank_bytes_per_step / 2**20:.0f} MiB/step x {passes} "
+        f"pass(es) -> effective {eff_gbps:.1f} GiB/s"
+    )
+
     target = 10_000.0
     print(
         json.dumps(
@@ -131,8 +163,11 @@ def run_direct():
                     "top_k": top_k,
                     "expansion_depth": depth,
                     "dtype": dtype,
+                    "int8_mode": int8_mode,
                     "recall_at_10": recall,
                 },
+                "bank_bytes_per_step": bank_bytes_per_step,
+                "effective_hbm_gib_s": round(eff_gbps, 1),
             }
         )
     )

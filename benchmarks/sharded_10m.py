@@ -76,19 +76,49 @@ def main() -> None:
     top_k = 10
     b = 16
 
+    with_graph = os.environ.get("BENCH10M_GRAPH", "1") == "1"
+    graph_degree = 8
+
     from hcrag_tpu.parallel.mesh import ROWS_AXIS, make_row_mesh
     from hcrag_tpu.parallel.sharded_engine import ShardedQueryEngine
     from hcrag_tpu.utils.synthetic import synthetic_dense_index
 
     mesh = make_row_mesh()
     n_shards = mesh.shape[ROWS_AXIS]
-    log(f"mesh: {n_shards} devices over '{ROWS_AXIS}'; n={n} dim={dim} mode={mode}")
+    log(f"mesh: {n_shards} devices over '{ROWS_AXIS}'; n={n} dim={dim} "
+        f"mode={mode} graph={with_graph}")
 
     t0 = time.time()
     index = synthetic_dense_index(n, dim, seed=0)
     emb_f32 = np.asarray(index.emb)
     log(f"index built in {time.time()-t0:.1f}s "
         f"({emb_f32.nbytes/2**30:.2f} GiB f32 host)")
+
+    graph = None
+    if with_graph:
+        # Per-shard ELL at the target degree: the 10M x deg-8 neighbor
+        # tables shard over `rows` instead of replicating (shard_graph).
+        from hcrag_tpu.core.graph import CsrGraph
+        from hcrag_tpu.core.types import edge_type_id
+
+        t0 = time.time()
+        rng_g = np.random.default_rng(3)
+        src = np.repeat(np.arange(n, dtype=np.int64), graph_degree)
+        dst = rng_g.integers(0, n, size=n * graph_degree)
+        ety = rng_g.choice(
+            [edge_type_id("DESCRIBED_BY"), edge_type_id("ANNOTATION")],
+            size=n * graph_degree,
+        )
+        graph = CsrGraph.from_edges(
+            n, src, dst, ety,
+            node_labels=["Product"] * n,
+            node_keys=list(range(n)),
+            node_texts=[""] * n,
+            node_to_row=np.arange(n, dtype=np.int32),
+        )
+        index.graph_ids = np.arange(n, dtype=np.int32)
+        log(f"graph built in {time.time()-t0:.1f}s "
+            f"({n * graph_degree} edges, degree {graph_degree})")
 
     if mode == "int8_residual":
         opts = dict(quantize_int8=True, int8_residual=True, int8_rescore=32)
@@ -100,7 +130,10 @@ def main() -> None:
         extra_name = "f32 rescore"
 
     t0 = time.time()
-    engine = ShardedQueryEngine(index, None, mesh=mesh, **opts)
+    engine = ShardedQueryEngine(
+        index, graph, mesh=mesh, shard_graph=with_graph,
+        ell_max_degree=graph_degree, **opts,
+    )
     log(f"sharded engine up in {time.time()-t0:.1f}s "
         f"(n_padded={engine._n_padded}, rescore m=32)")
 
@@ -115,9 +148,11 @@ def main() -> None:
     q /= np.linalg.norm(q, axis=1, keepdims=True)
 
     t0 = time.time()
-    res = engine.query_batch(q, top_k=top_k)
+    res = engine.query_batch(q, top_k=top_k, expansion_depth=1)
     step_s = time.time() - t0
     log(f"sharded query step (incl. compile): {step_s:.1f}s")
+    if with_graph:
+        assert (res.expanded_counts > 0).any(), "expansion produced nothing"
 
     # exact-match sanity: a stored row queried with itself ranks first
     for j, row in enumerate(stored):
@@ -150,6 +185,15 @@ def main() -> None:
         * (4 + 4 * index.entity_bits.shape[1] + 4 + 4)  # type/bits/count/gid
         / 2**30
     )
+    graph_gb = 0.0
+    if with_graph:
+        # Per-shard ELL: both hop tables + type ids + row links, SHARDED.
+        g_rows = engine.d_neighbors.shape[0]
+        graph_total = (
+            engine.d_neighbors.size + engine.d_neighbors_hop2.size
+            + g_rows * 2
+        ) * 4
+        graph_gb = graph_total / n_shards / 2**30
     entry = {
         "n_rows": n,
         "dim": dim,
@@ -160,7 +204,14 @@ def main() -> None:
         "per_chip_selection_bank_gb": round(sel_gb, 3),
         "per_chip_rescore_bank_gb": round(extra_gb, 3),
         "replicated_feature_tables_gb": round(feat_gb, 3),
-        "per_chip_total_gb": round(sel_gb + extra_gb + feat_gb, 3),
+        "per_chip_graph_ell_gb": round(graph_gb, 3),
+        "graph": (
+            f"degree-{graph_degree} ELL, shard_graph=True "
+            "(sharded over rows; replicated would cost "
+            f"{round(graph_gb * n_shards, 2)} GB/chip)"
+            if with_graph else "none"
+        ),
+        "per_chip_total_gb": round(sel_gb + extra_gb + feat_gb + graph_gb, 3),
         "rescore_bank": extra_name,
         "note": (
             "BASELINE config 5 (10M sharded on v5e-8) executed on the "

@@ -52,6 +52,37 @@ def _ordered_unique_mask(candidates: jnp.ndarray, num_nodes: int) -> jnp.ndarray
     return (candidates >= 0) & (first_pos[safe_ids] == positions)
 
 
+def dedup_and_cap(
+    candidates: jnp.ndarray,
+    num_nodes: int,
+    max_nodes: int,
+    seeds: Optional[jnp.ndarray] = None,
+    exclude_seeds: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Discovery-order dedup + cap over a candidate id list (the tail of
+    `expand_k_hop`, reusable by the sharded-graph expansion path where the
+    hop gathers are hoisted out of the per-query function).
+
+    Returns (connected [max_nodes] int32 padded with -1, count scalar)."""
+    keep = _ordered_unique_mask(candidates, num_nodes)
+    if exclude_seeds and seeds is not None:
+        seed_hit = (candidates[:, None] == seeds[None, :]).any(axis=1)
+        keep = keep & ~seed_hit
+
+    # Cap: keep the first `max_nodes` surviving candidates
+    # (subgraph_expander.py:172-183 semantics).
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    keep = keep & (rank < max_nodes)
+    count = jnp.sum(keep.astype(jnp.int32))
+
+    out = jnp.full((max_nodes,), -1, dtype=jnp.int32)
+    safe_rank = jnp.where(keep, rank, max_nodes)
+    out = out.at[safe_rank.clip(0, max_nodes)].set(
+        jnp.where(keep, candidates, -1).astype(jnp.int32), mode="drop"
+    )
+    return out, count
+
+
 @functools.partial(
     jax.jit, static_argnames=("depth", "max_nodes", "exclude_seeds")
 )
@@ -109,25 +140,9 @@ def expand_k_hop(
             mask = _ordered_unique_mask(cand, g)
             frontier = jnp.where(mask, cand, -1)
     candidates = hops[0] if len(hops) == 1 else jnp.concatenate(hops)
-
-    keep = _ordered_unique_mask(candidates, g)
-    if exclude_seeds:
-        # Mark seeds as already-seen.
-        seed_hit = (candidates[:, None] == seeds[None, :]).any(axis=1)
-        keep = keep & ~seed_hit
-
-    # Cap: keep the first `max_nodes` surviving candidates.
-    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    keep = keep & (rank < max_nodes)
-    count = jnp.sum(keep.astype(jnp.int32))
-
-    # Compact into a fixed [max_nodes] buffer ordered by rank.
-    out = jnp.full((max_nodes,), -1, dtype=jnp.int32)
-    safe_rank = jnp.where(keep, rank, max_nodes)
-    out = out.at[safe_rank.clip(0, max_nodes)].set(
-        jnp.where(keep, candidates, -1).astype(jnp.int32), mode="drop"
+    return dedup_and_cap(
+        candidates, g, max_nodes, seeds=seeds, exclude_seeds=exclude_seeds
     )
-    return out, count
 
 
 def expand_batch(

@@ -42,6 +42,7 @@ class ShardedQueryEngine(QueryEngine):
         embedder=None,
         ell_max_degree: Optional[int] = None,
         shard_queries: bool = False,
+        shard_graph: bool = False,
         **kernel_opts,
     ):
         """`kernel_opts` forward to `QueryEngine` — the sharded path runs the
@@ -49,7 +50,15 @@ class ShardedQueryEngine(QueryEngine):
         `int8_only`, `int8_rescore`, `exact_rescore`, `pallas_tile_n`,
         `pallas_interpret`): shard-local Pallas/int8/streaming selection, an
         ICI all-gather merge, and a distributed exact-rescore (see
-        `sharded_ops.sharded_top_k`)."""
+        `sharded_ops.sharded_top_k`).
+
+        `shard_graph=True` also shards the graph-side tables (neighbor ELL,
+        per-node type ids, node->row links) over the rows axis instead of
+        replicating them: at 10M nodes x degree 8 the two int32 ELL tables
+        cost 640 MB replicated vs 80 MB/chip sharded.  Expansion hop gathers
+        and per-node feature gathers then go through explicit replicated
+        out-sharding gathers (XLA inserts the cross-shard collective)."""
+        self.shard_graph = bool(shard_graph)
         self.mesh = mesh if mesh is not None else make_row_mesh()
         #: With a 2-D (batch, rows) mesh, also shard the query batch —
         #: data-parallel queries on top of the row-sharded index.
@@ -95,10 +104,68 @@ class ShardedQueryEngine(QueryEngine):
             jnp.asarray(np.arange(self._n_padded) < n_orig), repl
         )
         if self.d_neighbors is not None:
-            self.d_neighbors = jax.device_put(self.d_neighbors, repl)
-            self.d_neighbors_hop2 = jax.device_put(self.d_neighbors_hop2, repl)
-            self.d_g_type_ids = jax.device_put(self.d_g_type_ids, repl)
-            self.d_g_row = jax.device_put(self.d_g_row, repl)
+            if self.shard_graph:
+                # Per-shard ELL: pad the graph-node axis to the shard count
+                # (pad rows carry -1 neighbors / -1 row links, so they are
+                # inert) and split every graph table over `rows`.
+                n_shards = self.mesh.shape[ROWS_AXIS]
+                rows = row_sharding(self.mesh)
+                put_g = lambda a, pad_value: jax.device_put(  # noqa: E731
+                    jnp.asarray(
+                        pad_rows(
+                            np.asarray(a), n_shards, pad_value=pad_value
+                        )[0]
+                    ),
+                    rows,
+                )
+                self.d_neighbors = put_g(self.d_neighbors, -1)
+                self.d_neighbors_hop2 = put_g(self.d_neighbors_hop2, -1)
+                self.d_g_type_ids = put_g(self.d_g_type_ids, 0)
+                self.d_g_row = put_g(self.d_g_row, -1)
+            else:
+                self.d_neighbors = jax.device_put(self.d_neighbors, repl)
+                self.d_neighbors_hop2 = jax.device_put(
+                    self.d_neighbors_hop2, repl
+                )
+                self.d_g_type_ids = jax.device_put(self.d_g_type_ids, repl)
+                self.d_g_row = jax.device_put(self.d_g_row, repl)
+
+    def _gather_graph(self, table, idx):
+        if not self.shard_graph:
+            return table[idx]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return table.at[idx].get(out_sharding=NamedSharding(self.mesh, P()))
+
+    def _expand_impl(self, bank, seeds, depth: int, max_expanded: int):
+        """Sharded-graph expansion: hop gathers hoisted OUT of the per-query
+        vmap so each is ONE batched cross-shard gather; dedup/cap stays
+        per-query (pure VPU work over gathered candidates).
+
+        Semantics match `ops.expand.expand_k_hop` exactly: the intermediate
+        frontier dedup there only masks duplicate positions to -1 (it never
+        reorders), and duplicate hop-2 blocks introduce the same ids at
+        LATER positions, so first-occurrence discovery order — and with it
+        the cap — is unchanged (subgraph_expander.py:44-96 contract)."""
+        if not self.shard_graph:
+            return super()._expand_impl(bank, seeds, depth, max_expanded)
+        from hcrag_tpu.ops.expand import dedup_and_cap
+
+        nbrs = bank["neighbors"]
+        table2 = bank["neighbors_hop2"]
+        g = nbrs.shape[0]
+        b = seeds.shape[0]
+        cand = seeds  # [B, F]
+        hops = []
+        for hop in range(depth):
+            table = nbrs if hop == 0 else table2
+            safe = jnp.where(cand >= 0, cand, 0)
+            nb = self._gather_graph(table, safe)  # [B, F, M]
+            nb = jnp.where((cand >= 0)[..., None], nb, -1)
+            cand = nb.reshape(b, -1)
+            hops.append(cand)
+        candidates = hops[0] if len(hops) == 1 else jnp.concatenate(hops, axis=1)
+        return jax.vmap(lambda c: dedup_and_cap(c, g, max_expanded))(candidates)
 
     def _row_pad_multiple(self) -> int:
         # Shard count x tile alignment: every shard's LOCAL block stays

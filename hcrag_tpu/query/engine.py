@@ -500,6 +500,28 @@ class QueryEngine:
         """Oversample count for the exact-rescore refinement (0 = off)."""
         return self.int8_rescore if self.quantize_int8 else self.exact_rescore
 
+    def _gather_graph(self, table, idx):
+        """Gather rows of a graph-side table (neighbor ELL / per-node
+        features) at batched indices.  The sharded-graph engine overrides
+        this with an explicit replicated out-sharding gather so the ELL
+        tables can live row-sharded (SURVEY §7.4: ragged expansion at 10M
+        nodes without full replication)."""
+        return table[idx]
+
+    def _expand_impl(self, bank, seeds, depth: int, max_expanded: int):
+        """Batched k-hop expansion over the ELL bank.  Overridden by the
+        sharded-graph engine with hop gathers hoisted out of the per-query
+        vmap (cross-shard gathers need batched index arrays)."""
+        return jax.vmap(
+            lambda s: expand_k_hop(
+                bank["neighbors"],
+                s,
+                depth=depth,
+                max_nodes=max_expanded,
+                hop2_neighbors=bank["neighbors_hop2"],
+            )
+        )(seeds)
+
     def _topk_impl(self, q_emb, type_mask, top_k: int, bank):
         """Dense cosine + masked top-k (single-device path).  The sharded
         engine overrides this with a shard_map'd local-select + ICI merge.
@@ -532,6 +554,8 @@ class QueryEngine:
 
         topk_impl = self._topk_impl
         gather_emb = self._gather_emb_rows
+        gather_graph = self._gather_graph
+        expand_impl = self._expand_impl
 
         def step(q_emb, q_bits, q_oov, intent_ids, weights, type_mask,
                  llm_topk, bank):
@@ -578,20 +602,14 @@ class QueryEngine:
 
             # --- expansion -----------------------------------------------
             seeds = jnp.where(top_v >= -1.0, graph_ids[top_i], -1)  # [B, k]
-            expanded, exp_count = jax.vmap(
-                lambda s: expand_k_hop(
-                    bank["neighbors"],
-                    s,
-                    depth=depth,
-                    max_nodes=max_expanded,
-                    hop2_neighbors=bank["neighbors_hop2"],
-                )
-            )(seeds)
+            expanded, exp_count = expand_impl(
+                bank, seeds, depth, max_expanded
+            )
 
             # --- expanded-node scoring -----------------------------------
             valid = expanded >= 0
             safe_nodes = jnp.where(valid, expanded, 0)
-            rows = bank["g_row"][safe_nodes]  # [B, E]; -1 = no embedding
+            rows = gather_graph(bank["g_row"], safe_nodes)  # [B, E]; -1 = none
             has_row = rows >= 0
             safe_rows = jnp.where(has_row, rows, 0)
             e_emb = (
@@ -612,7 +630,10 @@ class QueryEngine:
                 jnp.where(e_counts == 0, 0.5, 0.1),
                 ratio_e,
             )
-            typ_e = priority[intent_ids[:, None], bank["g_type_ids"][safe_nodes]]
+            typ_e = priority[
+                intent_ids[:, None],
+                gather_graph(bank["g_type_ids"], safe_nodes),
+            ]
             rel_e = _metrics_reduce(
                 sem_e, jnp.zeros_like(sem_e), ent_e, typ_e, weights
             )

@@ -198,6 +198,53 @@ class TestShardedKernelPaths:
         assert (r.top_indices >= 0).all()
 
 
+class TestShardedGraph:
+    """Per-shard ELL (shard_graph=True): neighbor tables sharded over the
+    rows axis instead of replicated — expansion and expanded-node scoring
+    must stay identical to the replicated-graph engine (discovery order,
+    caps, depth-2 ANNOTATION-only semantics included)."""
+
+    def test_expansion_identical_to_replicated(self, mesh, bundle, rng):
+        repl = ShardedQueryEngine(bundle.index, bundle.graph, mesh=mesh)
+        shg = ShardedQueryEngine(
+            bundle.index, bundle.graph, mesh=mesh, shard_graph=True
+        )
+        q = rng.standard_normal((3, 384)).astype(np.float32)
+        for depth in (1, 2):
+            r1 = repl.query_batch(q, top_k=10, expansion_depth=depth)
+            r2 = shg.query_batch(q, top_k=10, expansion_depth=depth)
+            np.testing.assert_array_equal(r1.top_indices, r2.top_indices)
+            np.testing.assert_array_equal(r1.expanded_nodes, r2.expanded_nodes)
+            np.testing.assert_array_equal(
+                r1.expanded_counts, r2.expanded_counts
+            )
+            np.testing.assert_allclose(
+                r1.expanded_relevance, r2.expanded_relevance, atol=1e-5
+            )
+
+    def test_matches_single_device_engine(self, mesh, bundle, rng):
+        single = QueryEngine(bundle.index, bundle.graph)
+        shg = ShardedQueryEngine(
+            bundle.index, bundle.graph, mesh=mesh, shard_graph=True
+        )
+        q = rng.standard_normal((2, 384)).astype(np.float32)
+        r0 = single.query_batch(q, top_k=5, expansion_depth=2)
+        r2 = shg.query_batch(q, top_k=5, expansion_depth=2)
+        np.testing.assert_array_equal(r0.expanded_nodes, r2.expanded_nodes)
+        np.testing.assert_allclose(r0.relevance, r2.relevance, atol=1e-5)
+
+    def test_graph_tables_are_sharded(self, mesh, bundle):
+        shg = ShardedQueryEngine(
+            bundle.index, bundle.graph, mesh=mesh, shard_graph=True
+        )
+        from hcrag_tpu.parallel.mesh import ROWS_AXIS
+        from jax.sharding import PartitionSpec as P
+
+        assert shg.d_neighbors.sharding.spec == P(ROWS_AXIS)
+        assert shg.d_g_row.sharding.spec == P(ROWS_AXIS)
+        assert shg.d_neighbors.shape[0] % mesh.shape[ROWS_AXIS] == 0
+
+
 class TestBatchShardedQueries:
     """2-D (batch, rows) mesh with data-parallel query sharding."""
 
