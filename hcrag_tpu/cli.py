@@ -135,6 +135,23 @@ def cmd_viz(args):
     print(f"visualization: {path}")
 
 
+def cmd_extract_graph(args):
+    """Generic LLM/heuristic path-extraction graph build over any directory
+    (reference `python graph_builder.py` main, graph_builder.py:516-565)."""
+    from hcrag_tpu.ingest.path_extract import PropertyGraphBuilder
+
+    builder = PropertyGraphBuilder(args.mode, link_sources=args.link_sources)
+    store = builder.build(args.data)
+    out = Path(args.out)
+    store.save(out / "property_graph.json")
+    stats = store.statistics()
+    print(f"Extraction mode: {builder.extraction_mode} "
+          f"({[type(e).__name__ for e in builder.extractors]})")
+    print(f"Nodes: {stats['total_nodes']}  Relationships: {stats['total_relationships']}")
+    print(f"Relationship types: {list(stats['relationships_by_type'])[:12]}")
+    print(f"Graph saved to {out / 'property_graph.json'}")
+
+
 def cmd_stats(args):
     engine = _load_engine(args)
     stats = engine.get_content_statistics()
@@ -156,6 +173,17 @@ def main(argv=None):
     b.add_argument("--pickle", default=None,
                    help="reference embeddings pickle for bit-parity")
     b.set_defaults(fn=cmd_build)
+
+    eg = sub.add_parser(
+        "extract-graph",
+        help="LLM/heuristic path-extraction property graph over any directory",
+    )
+    eg.add_argument("--data", default=DEFAULT_DATA)
+    eg.add_argument("--out", default="artifacts")
+    eg.add_argument("--mode", default="auto",
+                    choices=["auto", "simple", "dynamic", "implicit"])
+    eg.add_argument("--link-sources", action="store_true")
+    eg.set_defaults(fn=cmd_extract_graph)
 
     for name, fn in (
         ("query", cmd_query), ("repl", cmd_repl),

@@ -58,6 +58,15 @@ class CsrGraph:
     #: symmetrization — comparable to Neo4j's relationship statistics
     #: (knowledge_graph.py:437-446).
     directed_counts: Dict[str, int] = dataclasses.field(default_factory=dict)
+    #: Edge-type vocabulary `edge_type` ids index into.  None means the
+    #: fixed AdventureWorks EDGE_TYPES; property-graph builds
+    #: (core/property_graph.py) carry their discovered relation vocabulary
+    #: here so whitelist resolution and statistics stay correct.
+    edge_type_vocab: Optional[List[str]] = None
+
+    @property
+    def type_names(self) -> List[str]:
+        return self.edge_type_vocab if self.edge_type_vocab is not None else EDGE_TYPES
 
     @property
     def num_nodes(self) -> int:
@@ -81,6 +90,7 @@ class CsrGraph:
         node_texts: Sequence[str],
         node_to_row: Optional[np.ndarray] = None,
         symmetrize: bool = True,
+        edge_type_names: Optional[Sequence[str]] = None,
     ) -> "CsrGraph":
         """Build CSR from a directed edge list.
 
@@ -88,20 +98,26 @@ class CsrGraph:
         matching Neo4j's undirected ``-[r]-`` traversal used by every
         expansion query in the reference (subgraph_expander.py:210-243,
         neo4j_rag_langgraph.py:493-505).
+
+        ``edge_type_names`` overrides the fixed AdventureWorks EDGE_TYPES
+        vocabulary — used by the generic property-graph path
+        (`ingest/path_extract.py`), whose relation types are discovered from
+        the data (reference graph_builder.py:419-451) rather than fixed.
         """
+        type_names = list(edge_type_names) if edge_type_names else EDGE_TYPES
         src = np.asarray(src, dtype=np.int64)
         dst = np.asarray(dst, dtype=np.int64)
         etype = np.asarray(etype, dtype=np.int8)
-        type_hist = np.bincount(etype.astype(np.int64), minlength=len(EDGE_TYPES))
+        type_hist = np.bincount(etype.astype(np.int64), minlength=len(type_names))
         directed_counts: Dict[str, int] = {
-            EDGE_TYPES[i]: int(c) for i, c in enumerate(type_hist) if c > 0
+            type_names[i]: int(c) for i, c in enumerate(type_hist) if c > 0
         }
         if symmetrize:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
             etype = np.concatenate([etype, etype])
             # Dedup (src, dst, type) triples: rules like SAME_CATEGORY emit
             # both ordered pairs, so symmetrization would double them.
-            key = (src * num_nodes + dst) * len(EDGE_TYPES) + etype
+            key = (src * num_nodes + dst) * len(type_names) + etype
             _, first = np.unique(key, return_index=True)
             first.sort()
             src, dst, etype = src[first], dst[first], etype[first]
@@ -123,6 +139,7 @@ class CsrGraph:
             node_texts=list(node_texts),
             node_to_row=np.asarray(node_to_row, dtype=np.int32),
             directed_counts=directed_counts,
+            edge_type_vocab=list(edge_type_names) if edge_type_names else None,
         )
 
     # --- layout lowering ----------------------------------------------------
@@ -135,13 +152,18 @@ class CsrGraph:
 
         The default whitelist of None keeps all edges.  ``max_degree`` caps
         the per-node neighbor count (first-created edges win, deterministic);
-        None sizes the table to the true maximum filtered degree.
+        None sizes the table to the true maximum filtered degree.  Whitelist
+        names resolve against this graph's own `type_names` vocabulary;
+        names absent from it are skipped (a discovered-vocabulary graph has
+        no ANNOTATION/DESCRIBED_BY analogues to filter on).
         """
         g = self.num_nodes
         if edge_type_whitelist is not None:
-            allowed = np.zeros(len(EDGE_TYPES), dtype=bool)
+            names = self.type_names
+            allowed = np.zeros(len(names), dtype=bool)
             for name in edge_type_whitelist:
-                allowed[edge_type_id(name)] = True
+                if name in names:
+                    allowed[names.index(name)] = True
             keep = allowed[self.edge_type]
         else:
             keep = np.ones_like(self.edge_type, dtype=bool)
@@ -203,6 +225,7 @@ class CsrGraph:
                     "node_keys": [str(k) for k in self.node_keys],
                     "node_texts": self.node_texts,
                     "directed_counts": self.directed_counts,
+                    "edge_type_vocab": self.edge_type_vocab,
                 },
                 f,
             )
@@ -222,4 +245,5 @@ class CsrGraph:
             node_texts=meta["node_texts"],
             node_to_row=arrays["node_to_row"],
             directed_counts=meta.get("directed_counts", {}),
+            edge_type_vocab=meta.get("edge_type_vocab"),
         )

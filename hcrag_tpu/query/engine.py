@@ -199,13 +199,21 @@ class QueryEngine:
 
         # Graph bank (expansion + expanded-node scoring).
         if graph is not None:
-            ell = graph.to_ell(EXPANSION_EDGE_TYPES, max_degree=ell_max_degree)
+            if graph.edge_type_vocab is None:
+                ell = graph.to_ell(EXPANSION_EDGE_TYPES, max_degree=ell_max_degree)
+                # Second-hop table: ANNOTATION edges only — the reference's
+                # depth-2 path is Product -> Document -> Annotation
+                # (subgraph_expander.py:216-218), never Document -> other
+                # products of the same document.
+                ell2 = graph.to_ell(("ANNOTATION",), max_degree=ell_max_degree)
+            else:
+                # Discovered-vocabulary graph (property-graph path): there is
+                # no ANNOTATION/DESCRIBED_BY schema to whitelist — expansion
+                # follows all relations, like the generic stack's retrievers
+                # (query_interface.py:166-221); depth 2 reuses the same table.
+                ell = graph.to_ell(max_degree=ell_max_degree)
+                ell2 = ell
             self.d_neighbors = put(jnp.asarray(ell.neighbors))
-            # Second-hop table: ANNOTATION edges only — the reference's
-            # depth-2 path is Product -> Document -> Annotation
-            # (subgraph_expander.py:216-218), never Document -> other
-            # products of the same document.
-            ell2 = graph.to_ell(("ANNOTATION",), max_degree=ell_max_degree)
             self.d_neighbors_hop2 = put(jnp.asarray(ell2.neighbors))
             g_types = np.array(
                 [
