@@ -123,7 +123,6 @@ def main():
 
     # --- synthetic setups ----------------------------------------------------
     from __graft_entry__ import _synthetic_setup
-    import ml_dtypes
 
     queries = rng.standard_normal((args.batch, 384)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
@@ -133,10 +132,16 @@ def main():
             continue
         with timed(f"{key} gen n={n}"):
             index, graph = _synthetic_setup(n, 384, graph_degree=4)
+            # index.emb stays f32: the engine downcasts its own bf16
+            # selection bank and keeps the f32 rows for candidate rescoring.
             emb_f32 = np.asarray(index.emb, np.float32)
-            index.emb = emb_f32.astype(ml_dtypes.bfloat16)
         with timed(f"{key} engine init"):
-            engine = QueryEngine(index, graph, ell_max_degree=8)
+            # Default config matches bench.py: bf16 selection bank + f32
+            # exact rescore of the oversampled merge — exact-match recall
+            # at bf16 speed (round-1 weak item 5: the 100k row previously
+            # recorded the pre-rescore 0.9875 config).
+            engine = QueryEngine(index, graph, ell_max_degree=8,
+                                 exact_rescore=32)
         recall = recall_gate(engine, emb_f32, queries)
         log(f"[{key}] recall@10 = {recall:.4f}")
         qps = throughput(

@@ -148,10 +148,23 @@ class HashingEmbedder:
 
 def embedder_from_index(index) -> "TextEmbedder":
     """Reconstruct the embedder an index was built with (falls back to an
-    unfitted default when no state was persisted)."""
+    unfitted default when no state was persisted).
+
+    An index whose rows are real MiniLM vectors (the reference artifact
+    records ``model_name: all-MiniLM-L6-v2``,
+    embedding_generator.py:428-435) gets the distilled-to-golden MiniLM
+    encoder when its artifacts exist — novel query text then embeds into
+    the SAME space as the index rows (>=0.999 corpus cosine vs the true
+    model) instead of the mismatched hashing space."""
     state = index.generation_info.get("embedder_state")
     if state and state.get("type") == "hashing":
         return HashingEmbedder.from_state(state)
+    if "minilm" in str(index.generation_info.get("model_name", "")).lower():
+        from hcrag_tpu.models.minilm import load_distilled_embedder
+
+        distilled = load_distilled_embedder()
+        if distilled is not None and distilled.dim == index.dim:
+            return distilled
     return default_embedder(index.dim)
 
 

@@ -226,3 +226,30 @@ class FlaxMiniLMEmbedder:
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         ids, mask = self.tokenizer.encode_batch(list(texts))
         return np.asarray(self._apply(self.params, ids, mask))
+
+
+def load_distilled_embedder(base: Optional[str] = None) -> Optional[FlaxMiniLMEmbedder]:
+    """Load the distilled-to-golden encoder artifacts if present.
+
+    `tools/distill_minilm.py` trains this MiniLM architecture to reproduce
+    the reference artifact's real `all-MiniLM-L6-v2` vectors (the pickle
+    stores 585 text->vector pairs — a complete corpus-domain supervision
+    set) with a corpus-built WordPiece vocab.  Returns None when the
+    artifacts are absent (the zero-egress default until the tool has run).
+    """
+    import json
+    import os
+
+    if base is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        base = os.path.join(repo, "tools/minilm_distilled")
+    npz, vocab, meta_p = base + ".npz", base + "_vocab.txt", base + "_meta.json"
+    if not (os.path.exists(npz) and os.path.exists(vocab) and os.path.exists(meta_p)):
+        return None
+    with open(meta_p) as f:
+        meta = json.load(f)
+    cfg = MiniLMConfig(**meta["config"])
+    tok = WordPieceTokenizer(vocab, max_len=meta["max_len"])
+    emb = FlaxMiniLMEmbedder(cfg, tokenizer=tok, max_len=meta["max_len"])
+    emb.load_params(npz)
+    return emb

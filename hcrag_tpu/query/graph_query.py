@@ -18,7 +18,6 @@ from typing import Dict, List, Optional
 from pydantic import BaseModel, Field
 
 from hcrag_tpu.core.graph import CsrGraph
-from hcrag_tpu.core.types import EDGE_TYPES
 from hcrag_tpu.pipeline.llm import LLMClient
 
 
@@ -110,9 +109,13 @@ def execute_graph_query(graph: CsrGraph, query: GraphQuery) -> List[Dict]:
     Returns matched node dicts with their (optionally filtered) neighbors.
     """
     results: List[Dict] = []
+    # Resolve against the graph's OWN vocabulary — a discovered-relation
+    # property graph (core/property_graph.py) carries its vocab on the
+    # CsrGraph; the AdventureWorks build defaults to EDGE_TYPES.
+    type_names = graph.type_names
     etype_id = (
-        EDGE_TYPES.index(query.edge_type)
-        if query.edge_type in EDGE_TYPES
+        type_names.index(query.edge_type)
+        if query.edge_type in type_names
         else None
     )
     needle = (query.text_contains or "").lower()
@@ -147,7 +150,7 @@ def execute_graph_query(graph: CsrGraph, query: GraphQuery) -> List[Dict]:
                         "node_id": int(nb),
                         "label": graph.node_labels[int(nb)],
                         "text": graph.node_texts[int(nb)],
-                        "relationship": EDGE_TYPES[int(t)],
+                        "relationship": type_names[int(t)],
                     }
                 )
         results.append(entry)

