@@ -208,8 +208,18 @@ def main():
         log(f"[E] AdventureWorks full build: {results['index_build_s']:.2f}s")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # Merge over the existing file: partial runs (--skip ...) must not drop
+    # the configs they skipped.
+    merged = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                merged = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+    merged.update(results)
     with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(merged, f, indent=2)
     log(json.dumps(results, indent=2))
 
     # headline line (same schema as bench.py)
