@@ -8,7 +8,10 @@ device-ready CSR lowering, retrieval + expansion over the extracted graph:
     JAX_PLATFORMS=cpu python examples/path_extraction.py [data_dir]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -56,7 +59,7 @@ def main():
 
     # Graph-pattern query over the discovered relation vocabulary.
     hits = execute_graph_query(
-        csr, GraphQuery(text_contains="mountain-100", limit=2)
+        csr, GraphQuery(text_contains="mountain-100", edge_type="COLOR", limit=2)
     )
     for h in hits:
         rels = {n["relationship"] for n in h["neighbors"]}

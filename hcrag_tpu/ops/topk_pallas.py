@@ -87,6 +87,66 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _packed_two_level_select(
+    packed_scores, base, *, k: int, k_pad: int
+):
+    """Two-level selection over a packed [B, TILE_N] score matrix.
+
+    Level 1 (one streamed pass over the tile): per-lane top-2 across the
+    TILE_N/128 column groups — 3 VPU ops per group over [B, 128], i.e. about
+    3 full-width passes total, independent of k.  Level 2: the k picks run
+    over the reduced [B, 256] buffer (each pick ~3 ops over 1/8 of a
+    full-width row), instead of k full-width max+mask passes.
+
+    Exactness: packed values carry (score bits | 2047-lane), so per-lane
+    maxima preserve scores, original column ids, and lowest-index
+    tie-breaking.  The reduction keeps at most TWO candidates per lane
+    column; a result slot is wrong only when >=3 of the tile's true top-k
+    share one lane (probability ~(k choose 3)/128^2 per tile on exchangeable
+    data — order 1e-3 per tile, and only affects the global result when the
+    lost candidate was globally top-k).  The engine's merge-level
+    exact-rescore governs final recall either way; the non-packed kernels
+    remain the bit-exact option.
+    """
+    b, tile_n = packed_scores.shape
+    lanes = 128
+    groups = tile_n // lanes
+    # Streaming per-lane top-2 merge over static lane-aligned slices.
+    m1 = packed_scores[:, :lanes]
+    m2 = jnp.zeros_like(m1)
+    for g in range(1, groups):
+        s = packed_scores[:, g * lanes : (g + 1) * lanes]
+        m2 = jnp.maximum(m2, jnp.minimum(m1, s))
+        m1 = jnp.maximum(m1, s)
+    red = jnp.concatenate([m1, m2], axis=1)  # [B, 256]
+
+    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
+    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+    for j in range(k):
+        best = jnp.max(red, axis=1)
+        lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
+        val = pltpu.bitcast(
+            (best & jnp.int32(~0x7FF))[:, None], jnp.float32
+        )[:, 0] - 2.0
+        valid = best != 0
+        sel = slot_ids == j
+        vals_acc = jnp.where(
+            sel, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
+        )
+        idxs_acc = jnp.where(
+            sel, jnp.where(valid, lane + base, -1)[:, None], idxs_acc
+        )
+        red = jnp.where(red == best[:, None], jnp.int32(0), red)
+    return vals_acc, idxs_acc
+
+
+def _use_two_level(k: int, tile_n: int) -> bool:
+    """Two-level selection pays off while k x full-width passes dominate the
+    one-pass reduction, and stays accurate while k << 2 candidates/lane."""
+    return k <= 16 and tile_n >= 256 and tile_n % 128 == 0
+
+
 def _topk_tile_kernel_packed(
     q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *, k: int, k_pad: int
 ):
@@ -127,10 +187,16 @@ def _topk_tile_kernel_packed(
     # invalid rows -> 0 (smaller than any valid packed value)
     packed = jnp.where(mask_ref[0, :][None, :] != 0, packed, jnp.int32(0))
 
+    base = tile * tile_n
+    if _use_two_level(k, tile_n):
+        vals_ref[:], idxs_ref[:] = _packed_two_level_select(
+            packed, base, k=k, k_pad=k_pad
+        )
+        return
+
     vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
     idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
-    base = tile * tile_n
     for j in range(k):
         best = jnp.max(packed, axis=1)  # [b] single reduce
         lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
@@ -199,6 +265,11 @@ def _topk_tile_kernel_int8(
         packed_scores = jnp.where(
             mask_ref[0, :][None, :] != 0, packed_scores, jnp.int32(0)
         )
+        if _use_two_level(k, tile_n):
+            vals_ref[:], idxs_ref[:] = _packed_two_level_select(
+                packed_scores, base, k=k, k_pad=k_pad
+            )
+            return
         for j in range(k):
             best = jnp.max(packed_scores, axis=1)
             lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))

@@ -400,14 +400,25 @@ class QueryEngine:
                     + 16 * sub_b * 128     # double-buffered val/idx blocks
                 )
 
+            # Packed two-level selection whenever an exact-rescore stage
+            # follows: the one-pass per-lane top-2 reduction removes the
+            # k full-width selection passes (+40% at 1M/B=512, putting the
+            # bf16 step AT the measured HBM ceiling), and the candidates'
+            # 2^-11 packed score rounding is nullified by the f32 rescore.
+            # Without a rescore stage the exact kernel keeps bit-exact
+            # scores/ties (the parity contract).  Packed lanes are 11 bits,
+            # so the packed path caps the tile at 2048.
+            packed = self.exact_rescore > 0
             tile = self.pallas_tile_n
+            if packed:
+                tile = min(tile, 2048)
             while tile > 512 and footprint(tile) > (11 << 20):
                 tile //= 2
 
             if b <= sub_b:
                 return pallas_cosine_top_k(
                     q_emb, emb, type_mask, top_k, tile_n=tile,
-                    merge_k=merge_k, interpret=interp,
+                    merge_k=merge_k, packed_select=packed, interpret=interp,
                 )
             pad_b = (-b) % sub_b
             q_padded = (
@@ -417,7 +428,7 @@ class QueryEngine:
             v, i = jax.lax.map(
                 lambda qc: pallas_cosine_top_k(
                     qc, emb, type_mask, top_k, tile_n=tile,
-                    merge_k=merge_k, interpret=interp,
+                    merge_k=merge_k, packed_select=packed, interpret=interp,
                 ),
                 q_chunks,
             )

@@ -124,6 +124,76 @@ class TestPackedSelectExperimental:
         assert err.max() < 2e-3
 
 
+class TestTwoLevelSelection:
+    """Two-level packed selection (`_packed_two_level_select`): one streamed
+    per-lane top-2 pass + picks over the [B, 256] reduction.  Default for
+    packed kernels at k <= 16; measured +40% on the bf16 path at 1M rows."""
+
+    def test_identical_to_kpass_packed(self):
+        """Two-level must reproduce the k-pass packed loop exactly on data
+        without >2-per-lane collisions among the tile's top-k (random data:
+        the overwhelming case)."""
+        import jax.numpy as jnp
+
+        import hcrag_tpu.ops.topk_pallas as tp
+
+        q, e = _setup(8192, 128, 8, seed=3)
+        mask = np.ones(8192, bool)
+        kw = dict(tile_n=1024, interpret=True, packed_select=True, merge_k=32)
+        assert tp._use_two_level(10, 1024)
+        v_new, i_new = tp.pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10, **kw)
+        orig = tp._use_two_level
+        tp._use_two_level = lambda k, t: False
+        try:
+            v_old, i_old = tp.pallas_cosine_top_k(
+                jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10, **kw)
+        finally:
+            tp._use_two_level = orig
+        np.testing.assert_array_equal(np.asarray(i_new), np.asarray(i_old))
+        np.testing.assert_array_equal(np.asarray(v_new), np.asarray(v_old))
+
+    def test_lane_collision_bounded_by_top2(self):
+        """Adversarial case: plant the true top-3 in ONE lane column of one
+        tile — per-lane top-2 keeps exactly two of them, and the merge
+        backfills rank 3 from other lanes (graceful, not corrupt)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        d = 128
+        e = rng.standard_normal((2048, d)).astype(np.float32) * 0.01
+        q = rng.standard_normal((1, d)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        # rows 5, 133, 261 share lane 5 (mod 128) and dominate everything
+        for rank, row in enumerate((5, 133, 261)):
+            e[row] = q[0] * (1.0 - 0.01 * rank)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(np.ones(2048, bool)),
+            5, tile_n=2048, interpret=True, packed_select=True,
+        )
+        got = np.asarray(i)[0]
+        assert got[0] == 5 and got[1] == 133  # top-2 of the lane survive
+        assert 261 not in got  # the 3rd collides out (documented bound)
+        assert len(set(got)) == 5  # backfilled with valid distinct rows
+
+    def test_ties_break_to_lowest_index(self):
+        import jax.numpy as jnp
+
+        d = 128
+        q = np.zeros((1, d), np.float32)
+        q[0, 0] = 1.0
+        e = np.zeros((512, d), np.float32)
+        e[:, 1] = 1.0  # score 0 everywhere
+        for row in (7, 300, 301):
+            e[row] = q[0]  # exact ties at score 1
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(np.ones(512, bool)),
+            3, tile_n=512, interpret=True, packed_select=True,
+        )
+        assert list(np.asarray(i)[0]) == [7, 300, 301]
+
+
 class TestPackedTileGuard:
     """Packed selection encodes the lane in 11 bits; tiles wider than 2048
     would silently corrupt the top-k (the true rank-1 hit goes missing), so
