@@ -150,9 +150,19 @@ def main():
         results[f"synthetic_{n}"] = {"recall_at_10": recall, "qps": qps}
 
         if key == "c" and "d" not in skip:
+            # Config d measures the PLAIN Pallas path (no rescore): give it
+            # the bf16 bank directly — an f32 kernel bank at B=1024 blows
+            # the 16 MB scoped-VMEM limit (HIGHEST-precision decomposition
+            # temps), and bf16 is this config's round-1 definition anyway.
+            import copy
+
+            import ml_dtypes
+
+            index_bf16 = copy.copy(index)
+            index_bf16.emb = emb_f32.astype(ml_dtypes.bfloat16)
             with timed("d pallas engine init"):
                 engine_p = QueryEngine(
-                    index, graph, ell_max_degree=8, use_pallas=True
+                    index_bf16, graph, ell_max_degree=8, use_pallas=True
                 )
             recall_p = recall_gate(engine_p, emb_f32, queries)
             log(f"[d pallas] recall@10 = {recall_p:.4f}")

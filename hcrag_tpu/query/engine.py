@@ -390,16 +390,6 @@ class QueryEngine:
             b = q_emb.shape[0]
             ebytes = emb.dtype.itemsize
             d = emb.shape[1]
-            sub_b = min(b, 1024)
-
-            def footprint(t):
-                return (
-                    4 * sub_b * d          # q block
-                    + 4 * sub_b * t        # score block
-                    + 2 * t * d * ebytes   # double-buffered E tile
-                    + 16 * sub_b * 128     # double-buffered val/idx blocks
-                )
-
             # Packed two-level selection whenever an exact-rescore stage
             # follows: the one-pass per-lane top-2 reduction removes the
             # k full-width selection passes (+40% at 1M/B=512, putting the
@@ -407,8 +397,23 @@ class QueryEngine:
             # 2^-11 packed score rounding is nullified by the f32 rescore.
             # Without a rescore stage the exact kernel keeps bit-exact
             # scores/ties (the parity contract).  Packed lanes are 11 bits,
-            # so the packed path caps the tile at 2048.
+            # so the packed path caps the tile at 2048; it also carries a
+            # second [sub_b, tile] int32 buffer (the packed copy), so large
+            # batches split at 512 queries to keep the 2048 tile rather
+            # than shrinking the tile (measured: B=1024 single-block at
+            # tile<=1024 ran 34.4k QPS vs 45.2k for 512-query blocks).
             packed = self.exact_rescore > 0
+            sub_b = min(b, 512 if packed else 1024)
+
+            def footprint(t):
+                return (
+                    4 * sub_b * d          # q block
+                    + 4 * sub_b * t        # score block
+                    + (4 * sub_b * t if packed else 0)  # packed copy
+                    + 2 * t * d * ebytes   # double-buffered E tile
+                    + 16 * sub_b * 128     # double-buffered val/idx blocks
+                )
+
             tile = self.pallas_tile_n
             if packed:
                 tile = min(tile, 2048)
