@@ -106,8 +106,13 @@ class BatchedExecutor:
             except queue.Empty:
                 continue
             try:
-                top_scores = np.asarray(out[0])
-                top_indices = np.asarray(out[1])
+                # One combined host sync: separate np.asarray calls pay the
+                # tunneled-relay round-trip latency twice per batch, which
+                # dominates serving throughput (the readback, not compute,
+                # is the bottleneck through the relay).
+                import jax
+
+                top_scores, top_indices = jax.device_get((out[0], out[1]))
                 for i, (_, fut) in enumerate(items):
                     fut.set_result((top_scores[i], top_indices[i]))
                     self.requests_served += 1
