@@ -74,9 +74,14 @@ def cmd_query(args):
 
 
 def cmd_repl(args):
+    from hcrag_tpu.query.interface import QueryInterface
+
     engine = _load_engine(args)
+    iface = QueryInterface(engine, top_k=args.top_k)
     print("hcrag interactive query REPL. Commands: ':quit', ':stats', ':suggest',")
     print("':filter <type>' (database_table/json_table/pdf_document), ':nofilter'")
+    print("Prefix with 'mode:vector|keyword|context|default ' to pick a query")
+    print("engine (otherwise keyword rules auto-select, like the reference).")
     category = None
     while True:
         try:
@@ -91,7 +96,7 @@ def cmd_repl(args):
             print(engine.get_content_statistics())
             continue
         if line == ":suggest":
-            for s in engine.suggest_queries():
+            for s in iface.suggest_queries():
                 print(f"  - {s}")
             continue
         if line.startswith(":filter "):
@@ -101,12 +106,22 @@ def cmd_repl(args):
         if line == ":nofilter":
             category = None
             continue
+        # 'mode:<name> question' prefix (query_interface.py:431-436)
+        mode = "auto"
+        if line.startswith("mode:"):
+            head, _, rest = line.partition(" ")
+            mode = head[5:] or "auto"
+            line = rest.strip()
+            if not line:
+                continue
         if category:
             out = engine.search_by_category(line, category, top_k=args.top_k)
+            results = out["results"]
         else:
-            out = engine.process_query(line, top_k=args.top_k,
-                                       similarity_threshold=0.0)
-        for i, r in enumerate(out["results"], 1):
+            res = iface.query(line, mode=mode)
+            print(f"[{res['mode']} mode] {res['answer'][:300]}")
+            results = res["metadata"].get("results", [])
+        for i, r in enumerate(results, 1):
             print(f"{i}. [{r['similarity_score']:.3f}] {r['content'][:100]}")
 
 
