@@ -88,6 +88,22 @@ class Reranker:
         return train_step
 
     # ------------------------------------------------------------------
+    def save(self, path, step: int = 0) -> None:
+        """Checkpoint params + optimizer state (resume-exact training)."""
+        from hcrag_tpu.utils.train_checkpoint import save_train_state
+
+        save_train_state(path, self.state.params, self.state.opt_state, step)
+
+    def restore(self, path) -> int:
+        """Restore a checkpoint written by `save`; returns the saved step."""
+        from hcrag_tpu.utils.train_checkpoint import restore_train_state
+
+        params, opt_state, step = restore_train_state(
+            path, self.state.params, self.state.opt_state
+        )
+        self.state = RerankerTrainState(params=params, opt_state=opt_state)
+        return step
+
     def score(self, feats: np.ndarray) -> np.ndarray:
         """feats [..., NUM_FEATURES] -> learned relevance scores."""
         return np.asarray(self._score(self.state.params, jnp.asarray(feats)))

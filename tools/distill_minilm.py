@@ -83,6 +83,9 @@ def main(argv=None):
     ap.add_argument("--scan-chunk", type=int, default=50,
                     help="train steps folded into one device call (relay-friendly)")
     ap.add_argument("--out", default=os.path.join(REPO, "tools/minilm_distilled"))
+    ap.add_argument("--resume", default=None,
+                    help="train-state checkpoint to resume from (and where "
+                         "periodic checkpoints are written)")
     args = ap.parse_args(argv)
 
     import jax
@@ -158,6 +161,18 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     params = emb.params
     step = 0
+    if args.resume and os.path.exists(args.resume):
+        from hcrag_tpu.utils.train_checkpoint import restore_train_state
+
+        params, opt_state, step = restore_train_state(
+            args.resume, params, opt_state
+        )
+        # Replay the data stream to the resume point: batch sampling is the
+        # only randomness, so resumed training is bit-identical to an
+        # uninterrupted run.
+        for _ in range(step):
+            rng.choice(n, size=args.batch, replace=args.batch > n)
+        print(f"resumed from {args.resume} at step {step}")
     t0 = time.time()
     report = {}
     while step < args.steps:
@@ -179,6 +194,10 @@ def main(argv=None):
             "elapsed_s": round(time.time() - t0, 1),
         }
         print(report)
+        if args.resume:
+            from hcrag_tpu.utils.train_checkpoint import save_train_state
+
+            save_train_state(args.resume, params, opt_state, step)
         if report["cos_min"] >= args.target_cos:
             break
 
