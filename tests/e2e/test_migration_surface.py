@@ -138,3 +138,36 @@ class TestMigrationSurface:
                                  mesh=make_row_mesh())
         q = np.asarray(bundle.index.emb[0], np.float32)
         assert eng.query_batch(q, top_k=3).top_indices[0][0] == 0
+
+    def test_query_interface_surface(self, engine):
+        from hcrag_tpu.query.interface import QueryInterface
+
+        res = QueryInterface(engine).query("find mountain bikes", mode="auto")
+        assert res["mode"] == "keyword" and res["source_nodes"] > 0
+
+    def test_path_extraction_surface(self, tmp_path):
+        from hcrag_tpu.ingest.path_extract import (
+            PropertyGraphBuilder,
+            build_graph_index,
+        )
+
+        store = PropertyGraphBuilder("implicit").build(DATA_DIR)
+        store.save(tmp_path / "property_graph.json")
+        index, csr, types = build_graph_index(store)
+        assert index.n == csr.num_nodes > 0
+
+    def test_encoder_surface(self, reference_pickle_path):
+        from hcrag_tpu.models.minilm import load_distilled_embedder
+
+        emb = load_distilled_embedder()
+        if emb is None:
+            pytest.skip("distilled artifacts absent")
+        out = emb.encode(["mountain bike"])
+        assert out.shape == (1, 384)
+
+    def test_train_checkpoint_surface(self, tmp_path):
+        from hcrag_tpu.models.reranker import Reranker
+
+        r = Reranker()
+        r.save(tmp_path / "r.npz", step=1)
+        assert Reranker().restore(tmp_path / "r.npz") == 1
