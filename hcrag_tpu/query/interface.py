@@ -81,7 +81,13 @@ class QueryInterface:
         )
 
     def _keyword(self, question: str) -> List[Dict]:
-        """Term-overlap retrieval: |q ∩ row| / |q|, ties to lower row."""
+        """Term-overlap retrieval: |q ∩ row| / |q|, ties to lower row.
+
+        Host-side Python over the token-set table — right-sized for the
+        generic-ingestion corpora this mode serves (hundreds to tens of
+        thousands of rows, like the reference's LLMSynonymRetriever); at
+        index scale (1M+) use vector/context modes, whose work is on
+        device."""
         q_tokens = set(_TOKEN_RE.findall(question.lower()))
         if not q_tokens:
             return []
