@@ -417,7 +417,14 @@ class QueryEngine:
             tile = self.pallas_tile_n
             if packed:
                 tile = min(tile, 2048)
-            while tile > 512 and footprint(tile) > (11 << 20):
+            # Budget against the 16 MB scoped-VMEM limit.  The packed
+            # branch gets a higher allowance: its estimate counts the packed
+            # int32 copy explicitly (13.4 MB at sub_b=512/tile=2048/bf16 —
+            # measured to fit and run at the HBM ceiling), while the
+            # non-packed f32-HIGHEST path needs headroom for Mosaic's 3-pass
+            # decomposition temps the formula can't see.
+            budget = (14 << 20) if packed else (11 << 20)
+            while tile > 512 and footprint(tile) > budget:
                 tile //= 2
 
             if b <= sub_b:
