@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from hcrag_tpu.core.types import EDGE_TYPES, edge_type_id
+from hcrag_tpu.core.types import EDGE_TYPES
 
 
 @dataclasses.dataclass

@@ -23,7 +23,7 @@ ascending-row order and the final merge is position-stable).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

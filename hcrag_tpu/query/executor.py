@@ -18,7 +18,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import Future
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
