@@ -81,16 +81,15 @@ def main():
         log(f"[{label}] {1000*dt:.2f} ms/batch -> {qps:.0f} QPS")
         results[label] = round(qps, 1)
 
-    # int8 packed: two-level (new default) vs k-pass loop (forced)
+    # int8 packed: two-level vs k-pass loop.  The strategy is a STATIC jit
+    # argument (two_level=) — the earlier monkeypatch of _use_two_level was
+    # defeated by the jit cache and measured the same kernel twice.
     run("int8_packed_two_level", tp.pallas_cosine_top_k_int8,
-        d_q, d_e8, d_sc, d_mask, K, packed_select=True, merge_k=32)
-    orig = tp._use_two_level
-    tp._use_two_level = lambda k, t: False
-    try:
-        run("int8_packed_kpass", tp.pallas_cosine_top_k_int8,
-            d_q, d_e8, d_sc, d_mask, K, packed_select=True, merge_k=32)
-    finally:
-        tp._use_two_level = orig
+        d_q, d_e8, d_sc, d_mask, K, packed_select=True, merge_k=32,
+        two_level=True)
+    run("int8_packed_kpass", tp.pallas_cosine_top_k_int8,
+        d_q, d_e8, d_sc, d_mask, K, packed_select=True, merge_k=32,
+        two_level=False)
 
     # bf16: exact k-pass (engine default) vs packed two-level
     run("bf16_exact_kpass", tp.pallas_cosine_top_k,

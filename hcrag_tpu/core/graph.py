@@ -104,7 +104,13 @@ class CsrGraph:
         (`ingest/path_extract.py`), whose relation types are discovered from
         the data (reference graph_builder.py:419-451) rather than fixed.
         """
-        type_names = list(edge_type_names) if edge_type_names else EDGE_TYPES
+        # `is not None`, not truthiness: an EMPTY discovered vocabulary (a
+        # property-graph store with zero triples) must still mark the graph
+        # as discovered-vocab, or the engine would silently take the
+        # AdventureWorks ANNOTATION-whitelist ELL path.
+        type_names = (
+            list(edge_type_names) if edge_type_names is not None else EDGE_TYPES
+        )
         src = np.asarray(src, dtype=np.int64)
         dst = np.asarray(dst, dtype=np.int64)
         etype = np.asarray(etype, dtype=np.int8)
@@ -139,7 +145,9 @@ class CsrGraph:
             node_texts=list(node_texts),
             node_to_row=np.asarray(node_to_row, dtype=np.int32),
             directed_counts=directed_counts,
-            edge_type_vocab=list(edge_type_names) if edge_type_names else None,
+            edge_type_vocab=(
+                list(edge_type_names) if edge_type_names is not None else None
+            ),
         )
 
     # --- layout lowering ----------------------------------------------------

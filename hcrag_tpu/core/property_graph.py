@@ -184,6 +184,12 @@ class PropertyGraphStore:
             if len(ranked) > MAX_RELATION_TYPES and CATCHALL_RELATION not in kept
             else []
         )
+        if not type_names:
+            # Zero triples: still emit the catch-all so the lowered graph
+            # carries a non-empty DISCOVERED vocabulary (an empty list would
+            # previously read as falsy and fall back to the AdventureWorks
+            # EDGE_TYPES whitelist path in CsrGraph.from_edges).
+            type_names = [CATCHALL_RELATION]
         type_id = {p: i for i, p in enumerate(type_names)}
         catch = type_id.get(CATCHALL_RELATION)
 

@@ -156,6 +156,45 @@ def combine_metrics(
     )
 
 
+def combine_metrics_dynamic(
+    metrics: jnp.ndarray,
+    weight_tensor: jnp.ndarray,
+    intent_ids: jnp.ndarray,
+    type_ids: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fuse metrics with per-(intent, node-type) DYNAMIC weights.
+
+    TPU-native port of the v0 scorer design's `get_weight` dispatch
+    (relevance_scorer_design.py:104-111,151-168 and
+    :546-580 `_score_single_node`): instead of per-node Python calls into
+    each component's `get_weight`, the rules are materialized once as a
+    weight tensor and gathered per node — one extra gather + normalize on
+    top of the fused reduction.
+
+    The v0 combiner is a weighted AVERAGE (total_weighted_score /
+    total_weights, relevance_scorer_design.py:577-580), not the canonical
+    weighted sum — normalization happens here.
+
+    Args:
+      metrics: [..., M] metric stack (e.g. [B, k, M]).
+      weight_tensor: [M, I, T] weights per (component, intent, node type).
+      intent_ids: int32, broadcastable against type_ids (e.g. [B] vs [B, k]
+        after intent_ids[:, None], or a scalar).
+      type_ids: int32 node-type ids, shape == metrics.shape[:-1].
+
+    Returns: metrics.shape[:-1] float32 combined scores.
+    """
+    w_t = weight_tensor.astype(jnp.float32)
+    ii = jnp.asarray(intent_ids, dtype=jnp.int32)
+    tt = jnp.asarray(type_ids, dtype=jnp.int32)
+    ii = jnp.broadcast_to(ii, tt.shape)
+    w = w_t[:, ii, tt]  # [M, ...]
+    w = jnp.moveaxis(w, 0, -1)  # [..., M]
+    num = jnp.sum(w * metrics.astype(jnp.float32), axis=-1)
+    den = jnp.maximum(jnp.sum(w, axis=-1), 1e-12)
+    return num / den
+
+
 def batch_relevance(
     *,
     query_emb: jnp.ndarray,

@@ -147,8 +147,27 @@ def _use_two_level(k: int, tile_n: int) -> bool:
     return k <= 16 and tile_n >= 256 and tile_n % 128 == 0
 
 
+def _resolve_two_level(two_level, k: int, tile_n: int) -> bool:
+    """Resolve the caller's `two_level` request against the shape guard.
+
+    `two_level` is a STATIC kernel-selection argument (it changes the traced
+    program, so monkeypatching `_use_two_level` after a jit cache fill has no
+    effect — the strategy must flow through the jit signature).  Semantics:
+    None = auto (shape-feasible), True = request (still shape-guarded),
+    False = force the exhaustive k-pass loop.  Callers that do NOT follow the
+    selection with an exact rescore must pass False: the per-lane top-2
+    reduction can drop a true top-k row when >=3 of a tile's top-k share one
+    128-lane column, and only a rescore stage recovers it.
+    """
+    feasible = _use_two_level(k, tile_n)
+    if two_level is None:
+        return feasible
+    return bool(two_level) and feasible
+
+
 def _topk_tile_kernel_packed(
-    q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *, k: int, k_pad: int
+    q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *, k: int, k_pad: int,
+    two_level: bool,
 ):
     """Packed-select variant: score bits and the lane index share one uint32,
     so each selection pass is a single max-reduce + one mask op (vs
@@ -188,7 +207,7 @@ def _topk_tile_kernel_packed(
     packed = jnp.where(mask_ref[0, :][None, :] != 0, packed, jnp.int32(0))
 
     base = tile * tile_n
-    if _use_two_level(k, tile_n):
+    if two_level:
         vals_ref[:], idxs_ref[:] = _packed_two_level_select(
             packed, base, k=k, k_pad=k_pad
         )
@@ -230,6 +249,7 @@ def _topk_tile_kernel_int8(
     k: int,
     k_pad: int,
     packed: bool = False,
+    two_level: bool = False,
 ):
     """Int8 variant: MXU int8xint8->int32 matmul + rank-1 rescale + the same
     in-VMEM iterative top-k.  Index bytes halve vs bf16 (the E read is the
@@ -265,7 +285,7 @@ def _topk_tile_kernel_int8(
         packed_scores = jnp.where(
             mask_ref[0, :][None, :] != 0, packed_scores, jnp.int32(0)
         )
-        if _use_two_level(k, tile_n):
+        if two_level:
             vals_ref[:], idxs_ref[:] = _packed_two_level_select(
                 packed_scores, base, k=k, k_pad=k_pad
             )
@@ -308,7 +328,8 @@ def _topk_tile_kernel_int8(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "top_k", "tile_n", "interpret", "packed_select", "merge_k"
+        "top_k", "tile_n", "interpret", "packed_select", "merge_k",
+        "two_level",
     ),
 )
 def pallas_cosine_top_k_int8(
@@ -322,6 +343,7 @@ def pallas_cosine_top_k_int8(
     interpret: bool = False,
     packed_select: bool = False,
     merge_k: int = 0,
+    two_level: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused int8 cosine + top-k (see `_topk_tile_kernel_int8`).
 
@@ -330,7 +352,13 @@ def pallas_cosine_top_k_int8(
     k, so oversampling there is expensive), but the cross-tile merge keeps
     the best `merge_k` of the `num_tiles * top_k` candidate pool.  Used by
     the engine's exact-rescore refinement; surplus slots beyond the candidate
-    pool come back as (NEG_INF, -1) fillers."""
+    pool come back as (NEG_INF, -1) fillers.
+
+    `two_level` selects the approximate per-lane top-2 tile reduction
+    (see `_resolve_two_level`): None = auto when shape-feasible, False =
+    exhaustive k-pass loop.  Callers without a following exact rescore MUST
+    pass False — two-level can drop a true top-k row on >=3-per-lane
+    collisions, and only a rescore recovers it."""
     from hcrag_tpu.ops.quantize import quantize_queries
 
     b, d = query_emb.shape
@@ -354,7 +382,8 @@ def pallas_cosine_top_k_int8(
     qi, qs = quantize_queries(query_emb.astype(jnp.float32))
 
     kernel = functools.partial(
-        _topk_tile_kernel_int8, k=k, k_pad=k_pad, packed=packed_select
+        _topk_tile_kernel_int8, k=k, k_pad=k_pad, packed=packed_select,
+        two_level=_resolve_two_level(two_level, k, tile_n),
     )
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
@@ -389,7 +418,8 @@ def pallas_cosine_top_k_int8(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "top_k", "tile_n", "interpret", "packed_select", "merge_k"
+        "top_k", "tile_n", "interpret", "packed_select", "merge_k",
+        "two_level",
     ),
 )
 def pallas_cosine_top_k(
@@ -402,6 +432,7 @@ def pallas_cosine_top_k(
     interpret: bool = False,
     packed_select: bool = False,
     merge_k: int = 0,
+    two_level: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused cosine + top-k over a (normalized) index.
 
@@ -417,6 +448,9 @@ def pallas_cosine_top_k(
         the in-kernel selection is linear in k, so oversample HERE, not in
         the kernel).  Surplus slots beyond the candidate pool come back as
         (NEG_INF, -1) fillers.  Used by the engine's exact-rescore path.
+      two_level: packed-path tile-reduction strategy (None = auto when
+        shape-feasible; False = exhaustive k-pass loop).  Pass False unless
+        an exact rescore follows — see `_resolve_two_level`.
 
     Returns (values [B, k] f32, indices [B, k] int32), descending, ties to
     the lowest index.
@@ -439,11 +473,14 @@ def pallas_cosine_top_k(
     if b_pad != b:
         query_emb = jnp.pad(query_emb, ((0, b_pad - b), (0, 0)))
 
-    kernel_fn = (
-        _topk_tile_kernel_packed if packed_select else _topk_tile_kernel
-    )
     assert not (packed_select and tile_n > 2048), "packed lane field is 11 bits"
-    kernel = functools.partial(kernel_fn, k=k, k_pad=k_pad)
+    if packed_select:
+        kernel = functools.partial(
+            _topk_tile_kernel_packed, k=k, k_pad=k_pad,
+            two_level=_resolve_two_level(two_level, k, tile_n),
+        )
+    else:
+        kernel = functools.partial(_topk_tile_kernel, k=k, k_pad=k_pad)
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
         in_specs=[

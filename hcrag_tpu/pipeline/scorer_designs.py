@@ -12,11 +12,12 @@ ops so plugging in a metric doesn't reintroduce per-node Python loops.
 from __future__ import annotations
 
 import abc
+import enum
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from hcrag_tpu.core.types import NodeInput, QueryInput
+from hcrag_tpu.core.types import NodeInput, QueryInput, QueryIntent
 from hcrag_tpu.pipeline.isrelevant import (
     batch_entity_match,
     batch_llm_judge,

@@ -38,6 +38,7 @@ from hcrag_tpu.core.graph import CsrGraph
 from hcrag_tpu.core.types import (
     EXPANSION_EDGE_TYPES,
     REDUCE_MAX,
+    REDUCE_WEIGHTED_SUM,
     CompositeWeights,
     QueryIntent,
     ScorerType,
@@ -427,10 +428,17 @@ class QueryEngine:
             while tile > 512 and footprint(tile) > budget:
                 tile //= 2
 
+            # Two-level tile reduction is approximate (>=3-per-lane
+            # collisions drop a candidate); enable it exactly when the
+            # merge oversamples for a following exact f32 rescore, which
+            # recovers any dropped row.  merge_k > 0 <=> a rescore follows
+            # (`_rescore_m`), so this is the precise gate.
+            two_level = merge_k > 0
             if b <= sub_b:
                 return pallas_cosine_top_k(
                     q_emb, emb, type_mask, top_k, tile_n=tile,
                     merge_k=merge_k, packed_select=packed, interpret=interp,
+                    two_level=two_level,
                 )
             pad_b = (-b) % sub_b
             q_padded = (
@@ -441,6 +449,7 @@ class QueryEngine:
                 lambda qc: pallas_cosine_top_k(
                     qc, emb, type_mask, top_k, tile_n=tile,
                     merge_k=merge_k, packed_select=packed, interpret=interp,
+                    two_level=two_level,
                 ),
                 q_chunks,
             )
@@ -483,11 +492,17 @@ class QueryEngine:
                 # cross-tile merge keeps fetch_k of the per-tile candidates.
                 # Measured at 1M: in-kernel m=32 cost 3.9x throughput; the
                 # merge-level variant is ~free.
+                # Two-level reduction only when the merge oversamples for a
+                # following exact rescore (int8_rescore > 0 <=> merge_k > 0):
+                # without one, a >=3-per-lane collision would silently drop
+                # a true top-k row, so int8-only mode keeps the exhaustive
+                # k-pass packed loop (quantization noise only).
+                two_level = merge_k > 0
                 if b <= sub_b:
                     return pallas_cosine_top_k_int8(
                         q_emb, e8, bank["emb_scale"], type_mask, top_k,
                         tile_n=tile, packed_select=True, merge_k=merge_k,
-                        interpret=interp,
+                        interpret=interp, two_level=two_level,
                     )
                 pad_b = (-b) % sub_b
                 q_padded = (
@@ -498,7 +513,7 @@ class QueryEngine:
                     lambda qc: pallas_cosine_top_k_int8(
                         qc, e8, bank["emb_scale"], type_mask, top_k,
                         tile_n=tile, packed_select=True, merge_k=merge_k,
-                        interpret=interp,
+                        interpret=interp, two_level=two_level,
                     ),
                     q_chunks,
                 )
@@ -577,10 +592,21 @@ class QueryEngine:
 
         priority = jnp.asarray(PRIORITY_MATRIX)
 
-        def _metrics_reduce(sem, llm, ent, typ, weights):
+        def _metrics_reduce(sem, llm, ent, typ, weights, intent_ids, tids):
             metrics = jnp.stack([sem, llm, ent, typ], axis=-1)
             if reduction == REDUCE_MAX:
                 return jnp.max(metrics, axis=-1)
+            if weights.ndim == 3:
+                # Dynamic per-(intent, node-type) weights [4, I, T] — the v0
+                # scorer design's get_weight dispatch as one fused gather +
+                # normalized reduction (relevance_scorer_design.py:104-111,
+                # 546-580).  ndim is static at trace time, so the two weight
+                # layouts compile to distinct cached steps.
+                from hcrag_tpu.ops.scoring import combine_metrics_dynamic
+
+                return combine_metrics_dynamic(
+                    metrics, weights, intent_ids[:, None], tids
+                )
             return jnp.einsum("...m,m->...", metrics, weights)
 
         topk_impl = self._topk_impl
@@ -615,8 +641,11 @@ class QueryEngine:
                 jnp.where(row_counts == 0, 0.5, 0.1),
                 ratio,
             )
-            typ = priority[intent_ids[:, None], type_ids[top_i]]
-            rel = _metrics_reduce(sem, llm_topk, ent, typ, weights)
+            row_tids = type_ids[top_i]
+            typ = priority[intent_ids[:, None], row_tids]
+            rel = _metrics_reduce(
+                sem, llm_topk, ent, typ, weights, intent_ids, row_tids
+            )
             combined = (
                 cfg.COMBINED_RELEVANCE_WEIGHT * rel
                 + cfg.COMBINED_SIMILARITY_WEIGHT * top_v
@@ -661,12 +690,11 @@ class QueryEngine:
                 jnp.where(e_counts == 0, 0.5, 0.1),
                 ratio_e,
             )
-            typ_e = priority[
-                intent_ids[:, None],
-                gather_graph(bank["g_type_ids"], safe_nodes),
-            ]
+            e_tids = gather_graph(bank["g_type_ids"], safe_nodes)
+            typ_e = priority[intent_ids[:, None], e_tids]
             rel_e = _metrics_reduce(
-                sem_e, jnp.zeros_like(sem_e), ent_e, typ_e, weights
+                sem_e, jnp.zeros_like(sem_e), ent_e, typ_e, weights,
+                intent_ids, e_tids,
             )
             rel_e = jnp.where(valid, rel_e, 0.0)
             return top_v, top_i, rel, combined, expanded, exp_count, rel_e
@@ -695,10 +723,17 @@ class QueryEngine:
         max_expanded: int = cfg.MAX_CONNECTED_NODES,
         category_filter: Optional[str] = None,
         llm_scores: Optional[np.ndarray] = None,
+        dynamic_weight_tensor: Optional[np.ndarray] = None,
     ) -> Tuple:
         """Async variant: dispatches the fused step and returns DEVICE arrays
         without blocking — the serving path, letting callers pipeline batches
-        and amortize host<->device latency."""
+        and amortize host<->device latency.
+
+        `dynamic_weight_tensor` ([4, NUM_INTENTS, NUM_NODE_TYPES]) switches
+        the fused reduction to per-(intent, node-type) weights with v0-style
+        normalization (relevance_scorer_design.py:104-111,546-580) — see
+        `ops/scoring.combine_metrics_dynamic` and
+        `pipeline/scorer_designs.canonical_dynamic_weight_tensor`."""
         if isinstance(query_embs, jnp.ndarray) and query_embs.ndim == 2:
             q = query_embs  # already device-resident + normalized by caller
             b = q.shape[0]
@@ -736,6 +771,17 @@ class QueryEngine:
             type_mask = self._true_mask()
 
         w, reduction = scorer_spec(scorer_type, weights)
+        if dynamic_weight_tensor is not None:
+            from hcrag_tpu.core.types import NUM_INTENTS, NUM_NODE_TYPES
+
+            w = np.asarray(dynamic_weight_tensor, dtype=np.float32)
+            if w.shape != (4, NUM_INTENTS, NUM_NODE_TYPES):
+                raise ValueError(
+                    "dynamic_weight_tensor must be [4 metrics, "
+                    f"{NUM_INTENTS} intents, {NUM_NODE_TYPES} node types], "
+                    f"got {w.shape}"
+                )
+            reduction = REDUCE_WEIGHTED_SUM
         if llm_scores is None:
             llm_topk = self._zeros_f32(b, top_k)
         else:

@@ -34,9 +34,20 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
     return {f"leaf_{i:05d}": np.asarray(x) for i, x in enumerate(leaves)}
 
 
+def _npz_path(path) -> Path:
+    """Normalize to an explicit '.npz' suffix.  np.savez APPENDS '.npz' when
+    the name lacks it, so save/restore/exists probes on the raw path would
+    disagree ('--resume ckpt' wrote ckpt.npz yet never resumed); normalizing
+    on BOTH sides makes every spelling refer to the same file."""
+    path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_name(path.name + ".npz")
+    return path
+
+
 def save_train_state(path, params, opt_state, step: int) -> None:
     """Write params + optimizer state + step counter to one .npz."""
-    path = Path(path)
+    path = _npz_path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload: Dict[str, np.ndarray] = {"__step__": np.asarray(step, np.int64)}
     for prefix, tree in (("p", params), ("o", opt_state)):
@@ -54,7 +65,7 @@ def restore_train_state(
     per-leaf shape/dtype must match what was saved (asserted), which catches
     architecture or optimizer drift instead of silently mis-restoring.
     """
-    data = np.load(Path(path))
+    data = np.load(_npz_path(path))
     step = int(data["__step__"])
     out = []
     for prefix, template in (("p", params_template), ("o", opt_state_template)):

@@ -132,7 +132,9 @@ class TestTwoLevelSelection:
     def test_identical_to_kpass_packed(self):
         """Two-level must reproduce the k-pass packed loop exactly on data
         without >2-per-lane collisions among the tile's top-k (random data:
-        the overwhelming case)."""
+        the overwhelming case).  The strategy is a STATIC jit argument
+        (`two_level=`) so the two variants genuinely trace different kernels
+        — monkeypatching `_use_two_level` was defeated by the jit cache."""
         import jax.numpy as jnp
 
         import hcrag_tpu.ops.topk_pallas as tp
@@ -140,18 +142,36 @@ class TestTwoLevelSelection:
         q, e = _setup(8192, 128, 8, seed=3)
         mask = np.ones(8192, bool)
         kw = dict(tile_n=1024, interpret=True, packed_select=True, merge_k=32)
-        assert tp._use_two_level(10, 1024)
+        assert tp._resolve_two_level(None, 10, 1024)
         v_new, i_new = tp.pallas_cosine_top_k(
-            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10, **kw)
-        orig = tp._use_two_level
-        tp._use_two_level = lambda k, t: False
-        try:
-            v_old, i_old = tp.pallas_cosine_top_k(
-                jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10, **kw)
-        finally:
-            tp._use_two_level = orig
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10,
+            two_level=True, **kw)
+        v_old, i_old = tp.pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10,
+            two_level=False, **kw)
         np.testing.assert_array_equal(np.asarray(i_new), np.asarray(i_old))
         np.testing.assert_array_equal(np.asarray(v_new), np.asarray(v_old))
+
+    def test_two_level_false_is_exhaustive_on_lane_collisions(self):
+        """two_level=False must keep ALL of a lane's colliding top-k rows
+        (the int8-only engine path depends on this — no rescore follows)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        d = 128
+        e = rng.standard_normal((2048, d)).astype(np.float32) * 0.01
+        q = rng.standard_normal((1, d)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        for rank, row in enumerate((5, 133, 261)):
+            e[row] = q[0] * (1.0 - 0.01 * rank)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(np.ones(2048, bool)),
+            5, tile_n=2048, interpret=True, packed_select=True,
+            two_level=False,
+        )
+        got = np.asarray(i)[0]
+        assert got[0] == 5 and got[1] == 133 and got[2] == 261
 
     def test_lane_collision_bounded_by_top2(self):
         """Adversarial case: plant the true top-3 in ONE lane column of one

@@ -173,6 +173,19 @@ class TestPropertyGraphStore:
         nbrs, types = csr.neighbors_of(0)  # A
         assert list(nbrs) == [1]
 
+    def test_to_csr_empty_store_keeps_discovered_vocab(self):
+        """Zero triples must still mark the lowered graph as discovered-vocab
+        (catch-all relation), not silently fall back to the AdventureWorks
+        EDGE_TYPES whitelist (which flips the engine's ELL path)."""
+        from hcrag_tpu.core import property_graph as pg
+
+        s = PropertyGraphStore()
+        s.upsert_node("lonely")
+        csr, type_names = s.to_csr()
+        assert type_names == [pg.CATCHALL_RELATION]
+        assert csr.edge_type_vocab == [pg.CATCHALL_RELATION]
+        assert csr.num_edges == 0
+
     def test_relation_vocab_cap(self):
         from hcrag_tpu.core import property_graph as pg
 

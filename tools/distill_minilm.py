@@ -161,7 +161,9 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     params = emb.params
     step = 0
-    if args.resume and os.path.exists(args.resume):
+    from hcrag_tpu.utils.train_checkpoint import _npz_path
+
+    if args.resume and os.path.exists(_npz_path(args.resume)):
         from hcrag_tpu.utils.train_checkpoint import restore_train_state
 
         params, opt_state, step = restore_train_state(
