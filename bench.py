@@ -95,15 +95,42 @@ def run_direct():
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
     # --- correctness gate: recall@10 vs f32 NumPy brute force -------------
-    n_check = 8
-    ref_scores = queries[:n_check] @ emb_f32.T
-    ref_top = np.argsort(-ref_scores, axis=1, kind="stable")[:, :top_k]
+    # 64 gate queries (not 8): a selection bug touching ~1% of queries must
+    # fail the gate before it ships a headline.  The brute force runs in
+    # row chunks to bound the [n_check, N] score buffer.
+    n_check = min(64, batch)
+    ref_top = np.zeros((n_check, top_k), dtype=np.int64)
+    chunk = 250_000
+    best_v = np.full((n_check, top_k), -np.inf, dtype=np.float32)
+    best_i = np.zeros((n_check, top_k), dtype=np.int64)
+    for lo in range(0, emb_f32.shape[0], chunk):
+        s = queries[:n_check] @ emb_f32[lo : lo + chunk].T
+        cand_i = np.argsort(-s, axis=1, kind="stable")[:, :top_k] + lo
+        cand_v = np.take_along_axis(s, cand_i - lo, axis=1)
+        allv = np.concatenate([best_v, cand_v], axis=1)
+        alli = np.concatenate([best_i, cand_i], axis=1)
+        # stable global merge: sort by (-score, index)
+        order = np.lexsort((alli, -allv), axis=1)[:, :top_k]
+        best_v = np.take_along_axis(allv, order, axis=1)
+        best_i = np.take_along_axis(alli, order, axis=1)
+    ref_top = best_i
     res = engine.query_batch(queries, top_k=top_k, expansion_depth=depth)
     hits = sum(
         len(set(res.top_indices[i]) & set(ref_top[i])) for i in range(n_check)
     )
     recall = hits / (n_check * top_k)
-    log(f"recall@{top_k} vs f32 brute force: {recall:.4f}")
+    log(f"recall@{top_k} vs f32 brute force ({n_check} queries): {recall:.4f}")
+    # Gate (asserted): exact-match configs gate at 0.998 (one slot of 640
+    # tolerated for f32 score ties at the k boundary — brute force breaks
+    # ties by lowest index, the device merge by candidate position);
+    # int8-only / no-rescore modes carry quantization noise, gate 0.95.
+    min_recall = 0.998 if (rescore and int8_mode != "only") else 0.95
+    if recall < min_recall:
+        log(
+            f"RECALL GATE FAILED: {recall:.4f} < {min_recall} "
+            f"(dtype={dtype}, int8_mode={int8_mode!r}, rescore={rescore})"
+        )
+        sys.exit(3)
 
     # --- throughput: pipelined async dispatch (the serving pattern) -------
     import jax.numpy as jnp
@@ -149,28 +176,94 @@ def run_direct():
         f"pass(es) -> effective {eff_gbps:.1f} GiB/s"
     )
 
+    # --- BASELINE-defined pipeline: TEXT in -> ranked results out ---------
+    # BASELINE.md's throughput metric is "embed -> top-k -> expansion ->
+    # weighted fusion"; the headline above starts from pre-embedded queries.
+    # This row runs the full definition: host tokenization + the distilled
+    # on-device MiniLM encoder (models/minilm.py) + the fused query step,
+    # all inside the timed loop (tokenization overlaps device compute via
+    # async dispatch).  Encoder-only texts/sec is reported alongside.
+    qps_text = None
+    enc_tps = None
+    if os.environ.get("BENCH_TEXT", "1") == "1":
+        from hcrag_tpu.models.minilm import load_distilled_embedder
+
+        emb_model = load_distilled_embedder()
+        if emb_model is None:
+            log("text-to-results: distilled encoder artifacts absent, skipped")
+        else:
+            adjs = ["red", "black", "lightweight", "durable", "mountain",
+                    "road", "touring", "carbon", "aluminum", "silver"]
+            nouns = ["bike", "frame", "helmet", "jersey", "wheel", "pedal",
+                     "fork", "saddle", "chain", "light"]
+            texts = [
+                f"{adjs[i % 10]} {nouns[(i // 10) % 10]} model {i}"
+                for i in range(batch)
+            ]
+            tok = emb_model.tokenizer
+            apply_fn = emb_model._apply
+            params = emb_model.params
+
+            def text_step(txts):
+                ids, mask = tok.encode_batch(txts)  # host
+                qv = apply_fn(params, ids, mask)    # device, L2-normalized
+                return engine.query_batch_device(
+                    qv.astype(jnp.float32), top_k=top_k,
+                    expansion_depth=depth,
+                )
+
+            warm_t = text_step(texts)
+            jax.block_until_ready(warm_t)
+            _ = np.asarray(warm_t[0])
+            t0 = time.time()
+            outs_t = [text_step(texts) for _ in range(steps)]
+            jax.block_until_ready(outs_t)
+            _ = np.asarray(outs_t[-1][0])
+            el_t = time.time() - t0
+            qps_text = steps * batch / el_t
+            log(
+                f"text->results: {steps} steps x {batch} texts in "
+                f"{el_t:.3f}s -> {qps_text:.0f} QPS"
+            )
+
+            # encoder-only texts/sec (tokenize + encode + readback-forced)
+            warm_e = apply_fn(params, *tok.encode_batch(texts))
+            jax.block_until_ready(warm_e)
+            _ = np.asarray(warm_e)
+            t0 = time.time()
+            encs = [
+                apply_fn(params, *tok.encode_batch(texts))
+                for _ in range(steps)
+            ]
+            jax.block_until_ready(encs)
+            _ = np.asarray(encs[-1])
+            el_e = time.time() - t0
+            enc_tps = steps * batch / el_e
+            log(f"encoder only: {enc_tps:.0f} texts/s")
+
     target = 10_000.0
-    print(
-        json.dumps(
-            {
-                "metric": "queries_per_sec_per_chip",
-                "value": round(qps, 1),
-                "unit": "qps",
-                "vs_baseline": round(qps / target, 3),
-                "config": {
-                    "index_rows": n,
-                    "batch": batch,
-                    "top_k": top_k,
-                    "expansion_depth": depth,
-                    "dtype": dtype,
-                    "int8_mode": int8_mode,
-                    "recall_at_10": recall,
-                },
-                "bank_bytes_per_step": bank_bytes_per_step,
-                "effective_hbm_gib_s": round(eff_gbps, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "queries_per_sec_per_chip",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / target, 3),
+        "config": {
+            "index_rows": n,
+            "batch": batch,
+            "top_k": top_k,
+            "expansion_depth": depth,
+            "dtype": dtype,
+            "int8_mode": int8_mode,
+            "recall_at_10": recall,
+            "recall_gate_queries": n_check,
+        },
+        "bank_bytes_per_step": bank_bytes_per_step,
+        "effective_hbm_gib_s": round(eff_gbps, 1),
+    }
+    if qps_text is not None:
+        out["qps_text_to_results"] = round(qps_text, 1)
+        out["encoder_texts_per_sec"] = round(enc_tps, 1)
+    print(json.dumps(out))
 
 
 #: (index rows, wall-clock budget seconds) tried in order by the supervisor.

@@ -701,6 +701,48 @@ class QueryEngine:
 
         return jax.jit(step)
 
+    def _retrieve_step(self, top_k: int):
+        """Cached retrieval-ONLY jitted step: top-k selection (+ the
+        configured exact rescore), no relevance metrics, no expansion.  The
+        serving fast path — `BatchedExecutor(mode="retrieval")` dispatches
+        this so requests never pay for device work their futures discard."""
+        key = ("retrieve", top_k)
+        if key not in self._step_cache:
+            topk_impl = self._topk_impl
+
+            def step(q_emb, type_mask, bank):
+                return topk_impl(q_emb, type_mask, top_k, bank)
+
+            self._step_cache[key] = jax.jit(step)
+        return self._step_cache[key]
+
+    def retrieve_batch_device(
+        self,
+        query_embs,
+        *,
+        top_k: int = cfg.DEFAULT_TOP_K,
+        category_filter: Optional[str] = None,
+    ):
+        """Async retrieval-only dispatch returning DEVICE (scores [B, k],
+        indices [B, k]) — the cheap serving step (no scoring/expansion)."""
+        if isinstance(query_embs, jnp.ndarray) and query_embs.ndim == 2:
+            q = query_embs
+        else:
+            qh = np.asarray(query_embs, dtype=np.float32)
+            if qh.ndim == 1:
+                qh = qh[None, :]
+            qh = qh / np.maximum(
+                np.linalg.norm(qh, axis=1, keepdims=True), 1e-12
+            )
+            q = jnp.asarray(qh)
+        if category_filter:
+            type_mask = jnp.asarray(self.index.type_mask(category_filter))
+        else:
+            type_mask = self._true_mask()
+        step = self._retrieve_step(top_k)
+        put = self._put_query_input
+        return step(put(q), put(type_mask), self._bank())
+
     def _step(self, top_k: int, depth: int, max_expanded: int, reduction: int):
         key = (top_k, depth, max_expanded, reduction)
         if key not in self._step_cache:
@@ -1155,9 +1197,39 @@ class QueryEngine:
         out.sort(key=lambda r: r["price"])
         return out[:limit]
 
+    @staticmethod
+    def _parse_product_node_text(text: str):
+        """(name, price, category) from a product graph-node text
+        ("Name | Category: X | Price: $Y | Color: Z", the layout
+        `ingest/adventureworks._product_text` assembles) — the analogue of
+        the reference's `p.name / p.list_price / p.category_name` Cypher
+        projection (knowledge_graph.py:489-494)."""
+        parts = text.split(" | ")
+        name = parts[0]
+        price = None
+        category = None
+        for part in parts[1:]:
+            if part.startswith("Price: $"):
+                try:
+                    price = float(part[len("Price: $"):])
+                except ValueError:
+                    pass
+            elif part.startswith("Category: "):
+                category = part[len("Category: "):]
+        return name, price, category
+
     def hybrid_search(self, search_term: str, limit: int = 5) -> List[Dict]:
         """Dense search + per-hit graph enrichment with SAME_CATEGORY
-        neighbors (hybrid_search_example, knowledge_graph.py:464-512)."""
+        neighbors (hybrid_search_example, knowledge_graph.py:464-512).
+
+        Result dicts carry the reference's exact fields: name (product
+        name), price, category, similarity_score, related_products (<= 3
+        SAME_CATEGORY neighbor names), embedding_text (first 100 chars +
+        "...") — knowledge_graph.py:500-507.  Rows without an entity id are
+        skipped (the reference's `if entity_id:` gate); with a graph
+        attached, rows whose product node is missing are skipped too (the
+        reference's `if record:` gate).  Graphless engines degrade to
+        entity-id names with null price/category."""
         from hcrag_tpu.core.types import edge_type_id
 
         q_emb = np.asarray(self.embedder.encode([search_term])[0])
@@ -1171,19 +1243,29 @@ class QueryEngine:
                 and meta.get("table_name") == "Product"
             ):
                 continue
+            entity_id = meta.get("entity_id")
+            if not entity_id:
+                continue
+            name, price, category = str(entity_id), None, None
             related: List[str] = []
             if self.graph is not None:
                 gid = int(self.index.graph_ids[int(row)])
-                if gid >= 0:
-                    nbrs, types = self.graph.neighbors_of(gid)
-                    for nb, t in zip(nbrs, types):
-                        if int(t) == et_same_cat and len(related) < 3:
-                            related.append(
-                                self.graph.node_texts[int(nb)].split(" |")[0]
-                            )
+                if gid < 0:
+                    continue  # no graph record for this product
+                name, price, category = self._parse_product_node_text(
+                    self.graph.node_texts[gid]
+                )
+                nbrs, types = self.graph.neighbors_of(gid)
+                for nb, t in zip(nbrs, types):
+                    if int(t) == et_same_cat and len(related) < 3:
+                        related.append(
+                            self.graph.node_texts[int(nb)].split(" |")[0]
+                        )
             items.append(
                 {
-                    "name": meta.get("entity_id"),
+                    "name": name,
+                    "price": price,
+                    "category": category,
                     "similarity_score": float(score),
                     "related_products": related,
                     "embedding_text": self.index.texts[int(row)][:100] + "...",

@@ -2,9 +2,21 @@
 
 The reference serves one query per call (`EmbeddingRAGSystem.process_query`).
 TPU throughput needs batching: this executor accumulates concurrent requests
-into fixed-size device batches (padding the tail), dispatches the engine's
-async `query_batch_device` step, and resolves per-request futures — the
-host/device pipeline-overlap component from SURVEY §7.4's hard-parts list.
+into fixed-size device batches (padding the tail), dispatches an ASYNC device
+step, and resolves per-request futures — the host/device pipeline-overlap
+component from SURVEY §7.4's hard-parts list.
+
+Two coherent serving modes (what is dispatched == what the future returns):
+
+* ``mode="retrieval"`` (default): dispatches the engine's retrieval-ONLY
+  step (`retrieve_batch_device` — top-k selection + configured exact
+  rescore, no relevance metrics, no expansion).  Futures resolve to
+  ``(scores [k], indices [k])``.  Nothing is computed that gets dropped.
+* ``mode="full"``: dispatches the complete fused step
+  (`query_batch_device` — retrieval + isRelevant metrics + expansion +
+  weighted fusion) and futures resolve to a per-request `ServedResult`
+  carrying ALL of it.  One combined `jax.device_get` per batch either way
+  (the tunneled-relay round trip per readback dominates serving — NOTES.md).
 
 Usage:
     ex = BatchedExecutor(engine, batch_size=256, max_wait_ms=2.0)
@@ -15,12 +27,26 @@ Usage:
 
 from __future__ import annotations
 
+import dataclasses
 import queue
 import threading
 from concurrent.futures import Future
 from typing import List, Tuple
 
 import numpy as np
+
+
+@dataclasses.dataclass
+class ServedResult:
+    """Per-request slice of the full fused step (mode="full")."""
+
+    top_scores: np.ndarray  # [k] cosine similarity
+    top_indices: np.ndarray  # [k] index rows
+    relevance: np.ndarray  # [k] isRelevant scores
+    combined: np.ndarray  # [k] 0.7*rel + 0.3*sim
+    expanded_nodes: np.ndarray  # [max_expanded] graph node ids (-1 pad)
+    expanded_count: int
+    expanded_relevance: np.ndarray  # [max_expanded]
 
 
 class BatchedExecutor:
@@ -33,12 +59,16 @@ class BatchedExecutor:
         top_k: int = 10,
         expansion_depth: int = 1,
         pipeline_depth: int = 4,
+        mode: str = "retrieval",
     ):
+        if mode not in ("retrieval", "full"):
+            raise ValueError(f"mode must be 'retrieval' or 'full', got {mode!r}")
         self.engine = engine
         self.batch_size = batch_size
         self.max_wait_s = max_wait_ms / 1000.0
         self.top_k = top_k
         self.expansion_depth = expansion_depth
+        self.mode = mode
         self._queue: "queue.Queue" = queue.Queue()
         # Dispatched-but-unresolved device batches: the dispatcher keeps
         # issuing async device calls while the resolver blocks on readbacks,
@@ -53,7 +83,8 @@ class BatchedExecutor:
         self.requests_served = 0
 
     def submit(self, query_embedding: np.ndarray) -> Future:
-        """Enqueue one query embedding; resolves to (scores [k], indices [k])."""
+        """Enqueue one query embedding.  Resolves to (scores [k],
+        indices [k]) in retrieval mode, or a `ServedResult` in full mode."""
         fut: Future = Future()
         self._queue.put((np.asarray(query_embedding, np.float32), fut))
         return fut
@@ -86,11 +117,16 @@ class BatchedExecutor:
                 np.linalg.norm(batch, axis=1, keepdims=True), 1e-12
             )
             try:
-                out = self.engine.query_batch_device(
-                    batch / norms,
-                    top_k=self.top_k,
-                    expansion_depth=self.expansion_depth,
-                )
+                if self.mode == "retrieval":
+                    out = self.engine.retrieve_batch_device(
+                        batch / norms, top_k=self.top_k
+                    )
+                else:
+                    out = self.engine.query_batch_device(
+                        batch / norms,
+                        top_k=self.top_k,
+                        expansion_depth=self.expansion_depth,
+                    )
                 self.batches_dispatched += 1
                 self._inflight.put((out, items))
             except Exception as e:  # dispatch/compile failure
@@ -106,16 +142,31 @@ class BatchedExecutor:
             except queue.Empty:
                 continue
             try:
-                # One combined host sync: separate np.asarray calls pay the
-                # tunneled-relay round-trip latency twice per batch, which
-                # dominates serving throughput (the readback, not compute,
-                # is the bottleneck through the relay).
+                # One combined host sync for the WHOLE payload: separate
+                # np.asarray calls pay the tunneled-relay round-trip latency
+                # per array, which dominates serving throughput (the
+                # readback, not compute, is the bottleneck through the
+                # relay).
                 import jax
 
-                top_scores, top_indices = jax.device_get((out[0], out[1]))
-                for i, (_, fut) in enumerate(items):
-                    fut.set_result((top_scores[i], top_indices[i]))
-                    self.requests_served += 1
+                if self.mode == "retrieval":
+                    top_scores, top_indices = jax.device_get((out[0], out[1]))
+                    for i, (_, fut) in enumerate(items):
+                        fut.set_result((top_scores[i], top_indices[i]))
+                        self.requests_served += 1
+                else:
+                    (v, idx, rel, comb, exp, exp_n, exp_rel) = jax.device_get(
+                        tuple(out[:7])
+                    )
+                    for i, (_, fut) in enumerate(items):
+                        fut.set_result(ServedResult(
+                            top_scores=v[i], top_indices=idx[i],
+                            relevance=rel[i], combined=comb[i],
+                            expanded_nodes=exp[i],
+                            expanded_count=int(exp_n[i]),
+                            expanded_relevance=exp_rel[i],
+                        ))
+                        self.requests_served += 1
             except Exception as e:
                 for _, fut in items:
                     if not fut.done():

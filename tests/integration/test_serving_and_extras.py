@@ -33,6 +33,44 @@ class TestBatchedExecutor:
             assert scores[0] == pytest.approx(1.0, abs=1e-4)
         assert ex.batches_dispatched >= 3  # 20 reqs / batch 8
 
+    def test_full_mode_returns_complete_results(self, engine):
+        """mode='full' futures carry everything the dispatched step computed
+        (relevance, combined, expansion) — no device work is discarded."""
+        from hcrag_tpu.query.executor import BatchedExecutor, ServedResult
+
+        ex = BatchedExecutor(
+            engine, batch_size=4, top_k=5, max_wait_ms=5, mode="full"
+        )
+        futs = [
+            ex.submit(np.asarray(engine.index.emb[i], np.float32))
+            for i in range(6)
+        ]
+        results = [f.result(timeout=120) for f in futs]
+        ex.shutdown()
+        for i, r in enumerate(results):
+            assert isinstance(r, ServedResult)
+            assert r.top_indices[0] == i
+            assert r.relevance.shape == (5,)
+            assert r.combined.shape == (5,)
+            assert (r.relevance >= 0).all()
+            assert r.expanded_count >= 0
+            # combined = 0.7*rel + 0.3*sim must hold per served request
+            np.testing.assert_allclose(
+                r.combined, 0.7 * r.relevance + 0.3 * r.top_scores, atol=1e-5
+            )
+
+    def test_retrieval_mode_matches_engine(self, engine):
+        """Retrieval-only serving must agree with the blocking engine API."""
+        from hcrag_tpu.query.executor import BatchedExecutor
+
+        ex = BatchedExecutor(engine, batch_size=4, top_k=5, max_wait_ms=5)
+        q = np.asarray(engine.index.emb[3], np.float32)
+        scores, indices = ex.submit(q).result(timeout=120)
+        ex.shutdown()
+        ref = engine.query_batch(q, top_k=5)
+        np.testing.assert_array_equal(indices, ref.top_indices[0])
+        np.testing.assert_allclose(scores, ref.top_scores[0], atol=1e-5)
+
     def test_shutdown_idempotent(self, engine):
         from hcrag_tpu.query.executor import BatchedExecutor
 
@@ -75,6 +113,24 @@ class TestHybridAndSimilar:
         for item in items:
             assert "similarity_score" in item
             assert isinstance(item["related_products"], list)
+
+    def test_hybrid_search_reference_dict_shape(self, engine):
+        """Result fields match hybrid_search_example exactly
+        (knowledge_graph.py:500-507): name/price/category come from the
+        product's graph record, not the entity id."""
+        items = engine.hybrid_search("mountain bike", limit=3)
+        assert items, "expected at least one product hit"
+        for item in items:
+            assert set(item) == {
+                "name", "price", "category", "similarity_score",
+                "related_products", "embedding_text",
+            }
+            assert isinstance(item["name"], str) and item["name"]
+            assert not item["name"].isdigit()  # a product NAME, not an id
+            assert item["price"] is None or isinstance(item["price"], float)
+            assert item["category"] is None or isinstance(item["category"], str)
+            assert item["embedding_text"].endswith("...")
+            assert len(item["related_products"]) <= 3
 
     def test_query_similar_products_sorted_by_price(self, engine):
         pid = engine.graph.node_keys[0]
