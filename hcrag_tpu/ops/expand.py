@@ -33,10 +33,15 @@ def _ordered_unique_mask(candidates: jnp.ndarray, num_nodes: int) -> jnp.ndarray
     candidates: [C] int32 with -1 padding.
 
     Two lowerings: for small C an O(C^2) pairwise comparison (pure VPU work,
-    no giant buffers — candidate lists are seeds*degree sized); for large C a
-    scatter-min first-occurrence pass over a [G+1] buffer.  The crossover
-    keeps per-query scratch well under VMEM scale when this runs vmapped
-    over big query batches.
+    no giant buffers — candidate lists are seeds*degree sized); for large C
+    a SORT-based dedup: stable-sort by id carrying the position, flag run
+    starts (the stable sort keeps positions ascending within an id run, so
+    the run start IS the first occurrence), and stable-sort back by
+    position.  Two O(C log C) bitonic sorts replace the previous
+    scatter-min over a [G+1] buffer — vmapped scatters over
+    num_nodes-sized scratch serialize on TPU and dominated the
+    expansion-heavy configs (synthetic_1M_top100_depth3: C = 58k over a 1M
+    buffer per query).
     """
     c = candidates.shape[0]
     positions = jnp.arange(c, dtype=jnp.int32)
@@ -47,9 +52,12 @@ def _ordered_unique_mask(candidates: jnp.ndarray, num_nodes: int) -> jnp.ndarray
         seen_before = eq_earlier.any(axis=1)
         return (candidates >= 0) & ~seen_before
     safe_ids = jnp.where(candidates >= 0, candidates, num_nodes)
-    first_pos = jnp.full((num_nodes + 1,), c, dtype=jnp.int32)
-    first_pos = first_pos.at[safe_ids].min(positions)
-    return (candidates >= 0) & (first_pos[safe_ids] == positions)
+    s_ids, s_pos = jax.lax.sort((safe_ids, positions), num_keys=1, is_stable=True)
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (s_ids[1:] != s_ids[:-1]).astype(jnp.int32)]
+    )
+    _, keep = jax.lax.sort((s_pos, run_start), num_keys=1, is_stable=True)
+    return (candidates >= 0) & (keep == 1)
 
 
 def dedup_and_cap(
@@ -137,8 +145,14 @@ def expand_k_hop(
         cand = gather_frontier(table, frontier)  # [F * M_table]
         hops.append(cand)
         if hop + 1 < depth:
-            mask = _ordered_unique_mask(cand, g)
-            frontier = jnp.where(mask, cand, -1)
+            # The next frontier keeps within-hop duplicates: every copy of a
+            # node expands to the same neighbors, the final discovery-order
+            # dedup keeps only the FIRST occurrence of each discovered id,
+            # and the frontier's static shape is unchanged either way — so
+            # masking duplicates here was a semantic no-op that cost a full
+            # dedup pass per intermediate hop (the dominant cost at depth 3,
+            # where hop-2 candidate lists hit the large-C dedup path).
+            frontier = cand
     candidates = hops[0] if len(hops) == 1 else jnp.concatenate(hops)
     return dedup_and_cap(
         candidates, g, max_nodes, seeds=seeds, exclude_seeds=exclude_seeds

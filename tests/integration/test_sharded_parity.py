@@ -265,3 +265,28 @@ class TestBatchShardedQueries:
         single = QueryEngine(bundle.index, bundle.graph)
         r0 = single.query_batch(q, top_k=7)
         np.testing.assert_array_equal(r0.top_indices, r2.top_indices)
+
+
+class TestCollectiveTraffic:
+    """The docstring claims in sharded_ops.py, verified against the COMPILED
+    program: the candidate merge all-gathers [s, B, m] values+indices
+    (O(shards*m)/query) and the distributed rescore all-reduces one [B, m]
+    f32 matrix — NOT the [B, m, D] rows (benchmarks/sharded_traffic.py
+    measures the full 2/4/8 sweep)."""
+
+    def test_compiled_collective_payloads_match_model(self):
+        from benchmarks.sharded_traffic import (
+            collective_bytes,
+            lower_sharded_step,
+        )
+
+        b, k, m, s = 8, 10, 32, 4
+        hlo = lower_sharded_step(s, b=b, k=k, m=m)
+        colls = collective_bytes(hlo)
+        gather = sum(c[3] for c in colls if c[0] == "all-gather")
+        reduce_ = sum(c[3] for c in colls if c[0] == "all-reduce")
+        assert gather == s * b * m * (4 + 4)  # f32 values + s32 indices
+        assert reduce_ == b * m * 4  # [B, m] f32 psum, D-independent
+        # nothing else rides the wire in this step
+        others = [c for c in colls if c[0] not in ("all-gather", "all-reduce")]
+        assert others == []

@@ -86,6 +86,13 @@ def main(argv=None):
     ap.add_argument("--resume", default=None,
                     help="train-state checkpoint to resume from (and where "
                          "periodic checkpoints are written)")
+    ap.add_argument("--holdout-frac", type=float, default=0.0,
+                    help="EVALUATION mode: hold this fraction of the golden "
+                         "pairs OUT of training (seeded split), report "
+                         "held-out cosine + top-10 retrieval-set agreement "
+                         "vs the golden-vector index, and do NOT overwrite "
+                         "the shipped artifacts (report-only)")
+    ap.add_argument("--holdout-seed", type=int, default=17)
     args = ap.parse_args(argv)
 
     import jax
@@ -104,7 +111,26 @@ def main(argv=None):
     targets = np.asarray(data["embeddings"], dtype=np.float32)
     targets /= np.maximum(np.linalg.norm(targets, axis=1, keepdims=True), 1e-12)
 
-    vocab_path = build_corpus_vocab(texts, args.out + "_vocab.txt")
+    holdout_idx = np.zeros(0, dtype=np.int64)
+    all_texts, all_targets = texts, targets
+    if args.holdout_frac > 0:
+        # Seeded split; the vocab is still built from ALL texts (the corpus
+        # is available at vocab-build time in production too — what must
+        # generalize is the ENCODER WEIGHTS, not the tokenizer).
+        split_rng = np.random.default_rng(args.holdout_seed)
+        perm = split_rng.permutation(len(texts))
+        n_hold = max(1, int(len(texts) * args.holdout_frac))
+        holdout_idx = np.sort(perm[:n_hold])
+        train_idx = np.sort(perm[n_hold:])
+        print(f"holdout eval: {len(train_idx)} train / {n_hold} held-out pairs")
+        texts = [all_texts[i] for i in train_idx]
+        targets = all_targets[train_idx]
+
+    vocab_out = (
+        args.out + "_vocab.txt" if args.holdout_frac == 0
+        else args.out + "_holdout_vocab.txt"
+    )
+    vocab_path = build_corpus_vocab(all_texts, vocab_out)
     tok = WordPieceTokenizer(vocab_path, max_len=args.max_len)
     ids, mask = tok.encode_batch(texts)
     print(f"vocab={tok.vocab_size} examples={len(texts)} max_len={args.max_len}")
@@ -157,6 +183,7 @@ def main(argv=None):
         return jnp.sum(out * all_tgt, axis=-1)
 
     jeval = jax.jit(eval_cos)
+    jeval_emb = jax.jit(lambda p, i, m: model.apply(p, i, m))
 
     rng = np.random.default_rng(0)
     params = emb.params
@@ -204,6 +231,87 @@ def main(argv=None):
             break
 
     emb.params = jax.device_get(params)
+
+    if args.holdout_frac > 0:
+        # ---- held-out evaluation (report-only; artifacts untouched) ------
+        hold_texts = [all_texts[i] for i in holdout_idx]
+        hold_tgt = all_targets[holdout_idx]
+        h_ids, h_mask = tok.encode_batch(hold_texts)
+        h_out = np.asarray(jeval_emb(params, jnp.asarray(h_ids), jnp.asarray(h_mask)))
+        cos_h = np.sum(h_out * hold_tgt, axis=-1)
+
+        def top10(qv):
+            s = qv @ all_targets.T
+            return np.argsort(-s, axis=1, kind="stable")[:, :10]
+
+        t_model = top10(h_out)
+        t_gold = top10(hold_tgt)
+        agree = np.array([
+            len(set(t_model[i]) & set(t_gold[i])) / 10.0
+            for i in range(len(hold_texts))
+        ])
+
+        # Templated paraphrases of the held-out texts: segment reorder +
+        # question-style prefixes — text the distillation never saw in any
+        # form.  Agreement vs the ORIGINAL text's golden top-10.
+        def paraphrase(t, mode):
+            segs = [s for s in t.split(". ") if s]
+            if mode == 0:
+                return ". ".join(reversed(segs))
+            if mode == 1:
+                return "tell me about " + t.lower()
+            return "information on " + ". ".join(segs[1:] + segs[:1]).lower()
+
+        p_texts, p_src = [], []
+        for mode in range(3):
+            for i, t in enumerate(hold_texts):
+                p_texts.append(paraphrase(t, mode))
+                p_src.append(i)
+        p_ids, p_mask = tok.encode_batch(p_texts)
+        p_out = np.asarray(jeval_emb(params, jnp.asarray(p_ids), jnp.asarray(p_mask)))
+        t_para = top10(p_out)
+        p_agree = np.array([
+            len(set(t_para[j]) & set(t_gold[p_src[j]])) / 10.0
+            for j in range(len(p_texts))
+        ])
+
+        hold_report = {
+            "n_train": int(len(texts)),
+            "n_holdout": int(len(hold_texts)),
+            "holdout_seed": args.holdout_seed,
+            "train": report,
+            "holdout_cos_mean": float(cos_h.mean()),
+            "holdout_cos_min": float(cos_h.min()),
+            "holdout_cos_p10": float(np.percentile(cos_h, 10)),
+            "holdout_top10_agreement_mean": float(agree.mean()),
+            "holdout_top10_agreement_min": float(agree.min()),
+            "paraphrase_top10_agreement_mean": float(p_agree.mean()),
+            "paraphrase_top10_agreement_p10": float(np.percentile(p_agree, 10)),
+            "note": (
+                "encoder trained WITHOUT these pairs; agreement = top-10 "
+                "retrieval-set overlap vs querying the golden-vector index "
+                "with the true MiniLM vector"
+            ),
+        }
+        print(json.dumps(hold_report, indent=1))
+        rep_path = os.path.join(REPO, "tools/minilm_holdout_report.json")
+        with open(rep_path, "w") as f:
+            json.dump(hold_report, f, indent=1)
+        res_path = os.path.join(REPO, "benchmarks/results.json")
+        if os.path.exists(res_path):
+            res = json.load(open(res_path))
+            res["encoder_heldout_agreement"] = {
+                k: hold_report[k]
+                for k in (
+                    "n_train", "n_holdout", "holdout_cos_mean",
+                    "holdout_cos_min", "holdout_top10_agreement_mean",
+                    "paraphrase_top10_agreement_mean",
+                )
+            }
+            json.dump(res, open(res_path, "w"), indent=2)
+        print("saved", rep_path)
+        return
+
     emb.save_params(args.out + ".npz")
     meta = {
         "config": {
