@@ -197,16 +197,28 @@ def main():
 
         from hcrag_tpu.query.executor import BatchedExecutor
 
-        ex = BatchedExecutor(engine, batch_size=256, top_k=10)
-        f = ex.submit(queries[0])
-        f.result(timeout=600)
-        t0 = time.time()
-        futs = [ex.submit(q) for q in queries[:2048]]
-        _ = [f.result(timeout=600) for f in futs]
-        rps = 2048 / (time.time() - t0)
-        ex.shutdown()
-        log(f"[serving] {rps:.0f} single-query req/s")
-        results["serving_executor_1M"] = {"single_query_requests_per_s": rps}
+        # Both COHERENT serving modes (executor dispatches exactly what the
+        # futures return): retrieval-only (scores+indices via the cheap
+        # retrieve-only device step) and full (complete fused step, futures
+        # carry relevance/combined/expansion per request).
+        serving = {}
+        for mode in ("retrieval", "full"):
+            ex = BatchedExecutor(engine, batch_size=256, top_k=10, mode=mode)
+            f = ex.submit(queries[0])
+            f.result(timeout=600)
+            t0 = time.time()
+            futs = [ex.submit(q) for q in queries[:2048]]
+            _ = [f.result(timeout=600) for f in futs]
+            rps = 2048 / (time.time() - t0)
+            ex.shutdown()
+            log(f"[serving/{mode}] {rps:.0f} single-query req/s")
+            serving[f"{mode}_requests_per_s"] = rps
+        serving["note"] = (
+            "retrieval mode returns (scores, indices) from a retrieval-only "
+            "device step; full mode returns ServedResult (relevance, "
+            "combined, expansion) from the complete fused step"
+        )
+        results["serving_executor_1M"] = serving
 
     # --- E: index build time -------------------------------------------------
     if "e" not in skip:
