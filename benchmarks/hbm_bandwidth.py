@@ -5,8 +5,9 @@ own throughput (circular).  This measures raw device-local bandwidth in
 isolation over the SAME bank shapes the retrieval kernels stream:
 
   * xla_reduce:    jnp.sum(bank, dtype=f32) — one full read, no writes
-  * pallas_reduce: a Pallas grid kernel accumulating per-tile sums in VMEM —
-                   one full read, rules out XLA reduction lowering overheads
+  * folded_reduce: 16 full-bank reads inside ONE device call (lax.scan,
+                   pass-dependent scalars defeat CSE) — removes the
+                   per-dispatch relay floor from the measurement
   * xla_copy:      bank * (1 + eps) -> new buffer — read + write (2x bytes)
 
 over the bf16 [1M, 384] bank (734 MiB) and the int8 bank (367 MiB), with
@@ -50,45 +51,6 @@ def time_op(fn, *args, steps=20):
     return (time.time() - t0) / steps
 
 
-def pallas_tile_reduce(bank, *, tile_n=2048):
-    """One full bank read: per-tile f32 sums accumulated in a VMEM block."""
-    import jax
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    import jax.numpy as jnp
-
-    n, d = bank.shape
-    num_tiles = n // tile_n
-
-    def kernel(e_ref, out_ref):
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        partial = jnp.sum(
-            e_ref[:].astype(jnp.float32), axis=0, keepdims=True
-        )  # [1, d]
-        out_ref[:] = out_ref[:] + jnp.broadcast_to(partial, out_ref.shape)
-
-    @jax.jit
-    def run(e):
-        return pl.pallas_call(
-            kernel,
-            grid=(num_tiles,),
-            in_specs=[
-                pl.BlockSpec((tile_n, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((8, d), lambda i: (0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((8, d), jnp.float32),
-        )(e)
-
-    return run(bank)
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -124,13 +86,32 @@ def main():
     reduce_f32 = jax.jit(lambda e: jnp.sum(e, dtype=jnp.float32))
     copy_op = jax.jit(lambda e: e * jnp.asarray(1.0009765625, e.dtype))
 
+    # Scan-folded multi-pass reduce: 16 full-bank reads inside ONE device
+    # call (each pass multiplies by a distinct scalar so XLA cannot CSE the
+    # reads away) — removes any per-dispatch relay floor from the
+    # measurement.  16 reads of the same bank cannot be cached: the bank is
+    # ~50x VMEM.
+    PASSES = 16
+
+    @jax.jit
+    def folded_reduce(e):
+        def one(carry, s):
+            return carry + jnp.sum(e * s.astype(e.dtype), dtype=jnp.float32), ()
+
+        total, _ = jax.lax.scan(
+            one, jnp.float32(0), jnp.arange(1, PASSES + 1, dtype=jnp.int32)
+        )
+        return total
+
     bf16_bytes = n_pad * D * 2
     int8_bytes = n_pad * D
     bw("xla_reduce_bf16_734MiB", reduce_f32, d_bf16, bf16_bytes)
     bw("xla_reduce_int8_367MiB", reduce_f32, d_int8, int8_bytes)
-    bw("pallas_reduce_bf16", pallas_tile_reduce, d_bf16, bf16_bytes)
-    bw("pallas_reduce_int8", pallas_tile_reduce, d_int8, int8_bytes)
-    bw("xla_copy_bf16_rw", copy_op, d_bf16, 2 * bf16_bytes)
+    bw(f"folded_reduce_bf16_{PASSES}x", folded_reduce, d_bf16,
+       PASSES * bf16_bytes, steps=4)
+    bw(f"folded_reduce_int8_{PASSES}x", folded_reduce, d_int8,
+       PASSES * int8_bytes, steps=4)
+    bw("xla_copy_bf16_rw", copy_op, d_bf16, 2 * bf16_bytes, steps=4)
 
     # Optional profiler trace of one reduce + one fused-kernel step.
     trace_dir = os.environ.get("BW_TRACE_DIR")
@@ -151,10 +132,14 @@ def main():
         results,
         note=(
             "Isolated device-local bandwidth: full-bank streaming reductions "
-            "(read-only) and a copy (read+write) over the exact retrieval "
-            "bank shapes, residency-forced, 20 timed steps.  Decides whether "
-            "the fused kernel's effective GiB/s is the environment ceiling "
-            "or kernel headroom."
+            "(read-only) over the exact retrieval bank shapes, "
+            "residency-forced.  folded_reduce (16 reads per device call) is "
+            "the cleanest number — single-dispatch rows carry a ~3.4 ms "
+            "relay dispatch floor, and the copy row is fresh-allocation "
+            "dominated (each step allocates a 734 MiB output through the "
+            "relay), not a bandwidth measurement.  Decides whether the "
+            "fused kernel's effective GiB/s is the environment ceiling or "
+            "kernel headroom."
         ),
     )
     json.dump(data, open(out, "w"), indent=2)

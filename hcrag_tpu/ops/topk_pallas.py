@@ -118,26 +118,32 @@ def _packed_two_level_select(
         s = packed_scores[:, g * lanes : (g + 1) * lanes]
         m2 = jnp.maximum(m2, jnp.minimum(m1, s))
         m1 = jnp.maximum(m1, s)
-    red = jnp.concatenate([m1, m2], axis=1)  # [B, 256]
 
     vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
     idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+    # Level-2 picks over m1 ONLY ([B, 128], half the reduced width): the
+    # per-lane invariant m1 >= m2 makes max(m1) the global max, packed lane
+    # bits make cross-lane ties impossible (sel hits exactly one lane), and
+    # promoting m2 into the picked lane restores the invariant — ~half the
+    # per-pick VPU work of masking over the [B, 256] concatenation.
     for j in range(k):
-        best = jnp.max(red, axis=1)
+        best = jnp.max(m1, axis=1)
         lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
         val = pltpu.bitcast(
             (best & jnp.int32(~0x7FF))[:, None], jnp.float32
         )[:, 0] - 2.0
         valid = best != 0
-        sel = slot_ids == j
+        sel_slot = slot_ids == j
         vals_acc = jnp.where(
-            sel, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
+            sel_slot, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
         )
         idxs_acc = jnp.where(
-            sel, jnp.where(valid, lane + base, -1)[:, None], idxs_acc
+            sel_slot, jnp.where(valid, lane + base, -1)[:, None], idxs_acc
         )
-        red = jnp.where(red == best[:, None], jnp.int32(0), red)
+        picked = m1 == best[:, None]
+        m1 = jnp.where(picked, m2, m1)
+        m2 = jnp.where(picked, jnp.int32(0), m2)
     return vals_acc, idxs_acc
 
 
@@ -409,9 +415,22 @@ def pallas_cosine_top_k_int8(
         interpret=interpret,
     )(qi, qs.reshape(b_pad, 1), e_int8, scale_2d, mask_2d)
 
-    out_k = min(max(k, merge_k), vals.shape[1])
-    out_v, pos = jax.lax.top_k(vals[:b], out_k)
-    out_i = jnp.take_along_axis(idxs[:b], pos, axis=1)
+    return _merge_tile_candidates(vals, idxs, b, num_tiles, k_pad, k, merge_k)
+
+
+def _merge_tile_candidates(vals, idxs, b, num_tiles, k_pad, k, merge_k):
+    """Cross-tile merge of the per-tile candidate blocks.
+
+    Each tile's [B, k_pad=128] block holds its top-k in slots 0..k-1 and
+    (NEG_INF, -1) fillers beyond — so the merge only needs the first k slots
+    of each block.  Slicing before `lax.top_k` shrinks the XLA merge from
+    [B, num_tiles*128] to [B, num_tiles*k] (12.8x less sort work at k=10,
+    a measurable share of the fused step at 1M rows / 489 tiles)."""
+    v = vals[:b].reshape(b, num_tiles, k_pad)[:, :, :k].reshape(b, -1)
+    i = idxs[:b].reshape(b, num_tiles, k_pad)[:, :, :k].reshape(b, -1)
+    out_k = min(max(k, merge_k), v.shape[1])
+    out_v, pos = jax.lax.top_k(v, out_k)
+    out_i = jnp.take_along_axis(i, pos, axis=1)
     return out_v, out_i
 
 
@@ -517,10 +536,7 @@ def pallas_cosine_top_k(
         interpret=interpret,
     )(query_emb, index_emb, mask_2d)
 
-    # Final merge over the per-tile candidates (XLA; tiny).  Slots >= k hold
-    # NEG_INF / -1 and never win.
-    out_k = min(max(k, merge_k), vals.shape[1])
-    out_v, pos = jax.lax.top_k(vals[:b], out_k)
-    out_i = jnp.take_along_axis(idxs[:b], pos, axis=1)
-    return out_v, out_i
+    # Final merge over the per-tile candidates (XLA; slots >= k are fillers
+    # and are sliced away before the sort — see _merge_tile_candidates).
+    return _merge_tile_candidates(vals, idxs, b, num_tiles, k_pad, k, merge_k)
 
