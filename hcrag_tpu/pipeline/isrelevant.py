@@ -150,6 +150,72 @@ def batch_node_type_priority(query: QueryInput, nodes: List[NodeInput]) -> List[
     return [float(x) for x in np.asarray(out)]
 
 
+#: Node count from which the fused Pallas scoring kernel beats the XLA
+#: metric stack (measured 2.7x at 8192 nodes, parity at 128 —
+#: benchmarks/scoring_ablation.py / results.json:fused_scoring_ablation).
+PALLAS_SCORING_MIN_NODES = 2048
+
+
+def _fused_device_scores(
+    query: QueryInput,
+    nodes: List[NodeInput],
+    scorer_type: ScorerType,
+    weights: CompositeWeights,
+    llm: Optional[List[float]] = None,
+    interpret: bool = False,
+) -> List[float]:
+    """Large-bank fast path: ONE fused Pallas kernel computes the whole
+    metric stack (sem/ent/type + reduction) in VMEM
+    (`ops/scoring_pallas.pallas_batch_relevance`).  The judge column stays
+    a host concern (endpoint calls / word-overlap fallback) and rides in as
+    `llm` when the strategy weights it."""
+    from hcrag_tpu.ops.scoring_pallas import pallas_batch_relevance
+
+    vocab = EntityVocab.build([n.entities for n in nodes] + [query.entities])
+    node_bits, node_counts = vocab.encode_batch([n.entities for n in nodes])
+    q_bits, q_oov = vocab.encode(query.entities)
+    # The kernel scores raw dots; the reference metric is cosine
+    # (isRelevant.py:197-210), so normalize both sides here exactly as
+    # `semantic_similarity_scores` does internally.
+    q_emb = np.asarray(query.embeddings, np.float32).reshape(1, -1)
+    q_emb = q_emb / max(float(np.linalg.norm(q_emb)), 1e-12)
+    node_embs = np.stack(
+        [np.asarray(n.embeddings, np.float32) for n in nodes]
+    )
+    node_embs = node_embs / np.maximum(
+        np.linalg.norm(node_embs, axis=1, keepdims=True), 1e-12
+    )
+    type_ids = np.array([node_type_id(n.node_type) for n in nodes], np.int32)
+    q_count = np.asarray(
+        [int(np.unpackbits(q_bits.view(np.uint8)).sum()) + int(q_oov)],
+        np.int32,
+    )
+    w, reduction = scorer_spec(scorer_type, weights)
+    # Mosaic wants >=8 sublanes on the query-side blocks: replicate the
+    # single query to 8 rows and keep row 0.
+    b_pad = 8
+    llm_rows = None
+    if llm is not None:
+        llm_rows = jnp.asarray(np.tile(
+            np.asarray(llm, np.float32).reshape(1, -1), (b_pad, 1)
+        ))
+    out = pallas_batch_relevance(
+        jnp.asarray(np.repeat(q_emb, b_pad, axis=0)),
+        jnp.asarray(np.repeat(q_bits.reshape(1, -1), b_pad, axis=0)),
+        jnp.asarray(np.repeat(q_count, b_pad)),
+        jnp.full((b_pad,), query.intent.index, jnp.int32),
+        jnp.asarray(node_embs),
+        jnp.asarray(node_bits),
+        jnp.asarray(node_counts.astype(np.int32)),
+        jnp.asarray(type_ids),
+        jnp.asarray(np.asarray(w, np.float32)),
+        llm_rows,
+        reduction=reduction,
+        interpret=interpret,
+    )
+    return [float(x) for x in np.asarray(out)[0]]
+
+
 def batch_isRelevant(
     query: QueryInput,
     nodes: List[NodeInput],
@@ -171,6 +237,22 @@ def batch_isRelevant(
         return batch_node_type_priority(query, nodes)
     if scorer_type == ScorerType.ROUTER_SINGLE_LLM:
         return _batch_process_with_llm(query, nodes, batch_size, client)
+
+    # Large banks: the fused Pallas kernel for sem/ent/type + reduction
+    # (2.7x over the XLA stack at 8k nodes); the LLM-judge column is still
+    # produced host-side exactly as below and rides in as an input.
+    if len(nodes) >= PALLAS_SCORING_MIN_NODES:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            llm_col = (
+                _batch_process_with_llm(query, nodes, batch_size, client)
+                if scorer_needs_llm(scorer_type)
+                else None
+            )
+            return _fused_device_scores(
+                query, nodes, scorer_type, weights, llm=llm_col
+            )
 
     sem = batch_semantic_similarity(query, nodes)
     ent = batch_entity_match(query, nodes)

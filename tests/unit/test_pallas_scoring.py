@@ -105,3 +105,55 @@ class TestPallasScoring:
         nb_counts_zero = 5  # node 5 emptied in _bank
         assert out[1, nb_counts_zero] == pytest.approx(0.5)
         assert out[1, 0] == pytest.approx(0.1)
+
+
+class TestFusedHostIntegration:
+    """`batch_isRelevant`'s large-bank fast path (`_fused_device_scores`)
+    must agree with the XLA metric stack it replaces (integration decision:
+    benchmarks/scoring_ablation.py, 2.7x at 8k nodes)."""
+
+    def test_fused_path_matches_jnp_path(self):
+        from hcrag_tpu.core.types import (
+            CompositeWeights,
+            NodeInput,
+            QueryInput,
+            QueryIntent,
+            ScorerType,
+        )
+        from hcrag_tpu.pipeline.isrelevant import (
+            _fused_device_scores,
+            batch_isRelevant,
+        )
+
+        rng = np.random.default_rng(11)
+        ents = ["bike", "red", "frame", "manual", "helmet"]
+        nodes = [
+            NodeInput(
+                text=f"n{i}",
+                embeddings=rng.standard_normal(128).astype(np.float32),
+                graph_relations={},
+                node_type=["product", "document", "unknown"][i % 3],
+                entities=[ents[i % 5]] if i % 4 else [],
+            )
+            for i in range(300)
+        ]
+        query = QueryInput(
+            text="red bike",
+            embeddings=rng.standard_normal(128).astype(np.float32),
+            entities=["red", "bike"],
+            intent=QueryIntent.PRODUCT_SEARCH,
+        )
+        from hcrag_tpu.core.types import scorer_needs_llm
+        from hcrag_tpu.pipeline.isrelevant import _batch_process_with_llm
+
+        for st in (ScorerType.COMPOSITE, ScorerType.PARALLEL,
+                   ScorerType.ROUTER_TWO_ENT_TYPE):
+            ref = batch_isRelevant(query, nodes, st)  # jnp path (small n)
+            llm = (
+                _batch_process_with_llm(query, nodes, 10, None)
+                if scorer_needs_llm(st) else None
+            )
+            fused = _fused_device_scores(
+                query, nodes, st, CompositeWeights(), llm=llm, interpret=True
+            )
+            np.testing.assert_allclose(fused, ref, atol=2e-5)
