@@ -93,6 +93,13 @@ def main(argv=None):
                          "vs the golden-vector index, and do NOT overwrite "
                          "the shipped artifacts (report-only)")
     ap.add_argument("--holdout-seed", type=int, default=17)
+    ap.add_argument("--augment", type=int, default=0,
+                    help="paraphrase-invariance augmentation: add this many "
+                         "surface variants per training text, all mapped to "
+                         "the SAME golden vector (segment shuffles, query "
+                         "prefixes, field dropout) — teaches the encoder "
+                         "that MiniLM's space is word-order/phrasing "
+                         "invariant, which the 585 raw pairs alone do not")
     args = ap.parse_args(argv)
 
     import jax
@@ -125,6 +132,35 @@ def main(argv=None):
         print(f"holdout eval: {len(train_idx)} train / {n_hold} held-out pairs")
         texts = [all_texts[i] for i in train_idx]
         targets = all_targets[train_idx]
+
+    if args.augment > 0:
+        # Surface-form variants -> SAME target vector.  Templates are
+        # intentionally different strings from the held-out eval's
+        # paraphrase templates (tools/minilm_holdout_report.json) — the
+        # property being taught is invariance, not those exact phrasings.
+        aug_rng = np.random.default_rng(23)
+        prefixes = ["show me ", "find ", "looking for ", "details about ",
+                    "what about "]
+        aug_texts, aug_targets = list(texts), [targets]
+        for v in range(args.augment):
+            for t, vec in zip(texts, targets):
+                segs = [s for s in t.split(". ") if s]
+                mode = aug_rng.integers(0, 3)
+                if mode == 0 and len(segs) > 1:
+                    order = aug_rng.permutation(len(segs))
+                    t2 = ". ".join(segs[i] for i in order)
+                elif mode == 1:
+                    t2 = prefixes[int(aug_rng.integers(0, len(prefixes)))] + t.lower()
+                else:
+                    keep = [s for s in segs
+                            if len(segs) <= 1 or aug_rng.random() > 0.25]
+                    t2 = ". ".join(keep) if keep else t
+                aug_texts.append(t2)
+            aug_targets.append(targets)
+        texts = aug_texts
+        targets = np.concatenate(aug_targets, axis=0)
+        print(f"augmented: {len(texts)} training examples "
+              f"({args.augment} variants per text)")
 
     vocab_out = (
         args.out + "_vocab.txt" if args.holdout_frac == 0
@@ -276,7 +312,8 @@ def main(argv=None):
         ])
 
         hold_report = {
-            "n_train": int(len(texts)),
+            "n_train": int(len(all_texts) - len(hold_texts)),  # raw pairs
+            "n_train_examples": int(len(texts)),  # incl. augmented variants
             "n_holdout": int(len(hold_texts)),
             "holdout_seed": args.holdout_seed,
             "train": report,
