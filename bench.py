@@ -205,7 +205,10 @@ def run_direct():
             params = emb_model.params
 
             def text_step(txts):
-                ids, mask = tok.encode_batch(txts)  # host
+                # max_len 64 for query batches: identical embeddings for
+                # texts that fit (pooling/attention mask padding), ~9x less
+                # encoder attention work than the 192-token corpus setting.
+                ids, mask = tok.encode_batch(txts, max_len=64)  # host
                 qv = apply_fn(params, ids, mask)    # device, L2-normalized
                 return engine.query_batch_device(
                     qv.astype(jnp.float32), top_k=top_k,
@@ -227,12 +230,12 @@ def run_direct():
             )
 
             # encoder-only texts/sec (tokenize + encode + readback-forced)
-            warm_e = apply_fn(params, *tok.encode_batch(texts))
+            warm_e = apply_fn(params, *tok.encode_batch(texts, max_len=64))
             jax.block_until_ready(warm_e)
             _ = np.asarray(warm_e)
             t0 = time.time()
             encs = [
-                apply_fn(params, *tok.encode_batch(texts))
+                apply_fn(params, *tok.encode_batch(texts, max_len=64))
                 for _ in range(steps)
             ]
             jax.block_until_ready(encs)

@@ -103,13 +103,14 @@ class SimpleTokenizer:
         self.vocab_size = vocab_size
         self.max_len = max_len
 
-    def encode_batch(self, texts: Sequence[str]):
+    def encode_batch(self, texts: Sequence[str], max_len: int = 0):
         import hashlib
 
-        ids = np.zeros((len(texts), self.max_len), dtype=np.int32)
-        mask = np.zeros((len(texts), self.max_len), dtype=np.int32)
+        max_len = min(max_len, self.max_len) if max_len else self.max_len
+        ids = np.zeros((len(texts), max_len), dtype=np.int32)
+        mask = np.zeros((len(texts), max_len), dtype=np.int32)
         for i, text in enumerate(texts):
-            words = _WORD_RE.findall(text.lower())[: self.max_len - 2]
+            words = _WORD_RE.findall(text.lower())[: max_len - 2]
             reserved = min(999, max(self.vocab_size // 4, 103))
             bucket_range = self.vocab_size - reserved
             row = [101]
@@ -163,18 +164,23 @@ class WordPieceTokenizer:
             start = end
         return pieces
 
-    def encode_batch(self, texts: Sequence[str]):
-        ids = np.zeros((len(texts), self.max_len), dtype=np.int32)
-        mask = np.zeros((len(texts), self.max_len), dtype=np.int32)
+    def encode_batch(self, texts: Sequence[str], max_len: int = 0):
+        """`max_len` overrides (never exceeds) the tokenizer default: short
+        QUERY batches at max_len 64 cut the encoder's attention work ~9x vs
+        the 192-token corpus-row setting with identical embeddings for
+        shorter texts (mean pooling and attention both mask padding)."""
+        max_len = min(max_len, self.max_len) if max_len else self.max_len
+        ids = np.zeros((len(texts), max_len), dtype=np.int32)
+        mask = np.zeros((len(texts), max_len), dtype=np.int32)
         for i, text in enumerate(texts):
             if self.lowercase:
                 text = text.lower()
             row = [self.cls_id]
             for word in _WORD_RE.findall(text):
                 row.extend(self._wordpiece(word))
-                if len(row) >= self.max_len - 1:
+                if len(row) >= max_len - 1:
                     break
-            row = row[: self.max_len - 1]
+            row = row[: max_len - 1]
             row.append(self.sep_id)
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1
@@ -223,8 +229,11 @@ class FlaxMiniLMEmbedder:
             npz_path, **{"/".join(k): np.asarray(v) for k, v in flat.items()}
         )
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
-        ids, mask = self.tokenizer.encode_batch(list(texts))
+    def encode(self, texts: Sequence[str], max_len: int = 0) -> np.ndarray:
+        """`max_len` (optional) caps the padded sequence length — use ~64
+        for short query batches (9x less attention work, identical outputs
+        for texts that fit; see WordPieceTokenizer.encode_batch)."""
+        ids, mask = self.tokenizer.encode_batch(list(texts), max_len=max_len)
         return np.asarray(self._apply(self.params, ids, mask))
 
 

@@ -179,6 +179,75 @@ def expand_batch(
     return jax.vmap(lambda s: fn(neighbors, s))(seed_batch)
 
 
+def expand_batch_early_exit(
+    neighbors: jnp.ndarray,
+    seed_batch: jnp.ndarray,
+    *,
+    depth: int = 1,
+    max_nodes: int = 20,
+    hop2_neighbors: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched expansion with per-hop EARLY EXIT — same results as
+    `expand_batch`, usually a fraction of the work.
+
+    The `max_connected_nodes` cap keeps the FIRST `max_nodes` discovered
+    nodes (subgraph_expander.py:172-183), and hop-h candidates strictly
+    precede hop-(h+1) candidates in discovery order — so once EVERY query in
+    the batch has `max_nodes` unique nodes among the hops computed so far,
+    deeper hops cannot change any result.  A batch-level `lax.cond` (a true
+    conditional under jit: hop gathers + deduped cands for deeper hops are
+    only executed when some query still needs them) makes the common case
+    (top-100 seeds x degree-8: hop 1 alone yields ~800 candidates >> 20)
+    skip the deep-hop gathers AND the wide [B, 58k] dedup that dominated
+    the depth-3 config (ops/expand benchmarks: dedup 27.8 ms of the 32.3 ms
+    expansion at 1M/B=64).
+
+    Adversarial batches (any query short of the cap) fall through to the
+    exact full computation.
+    """
+    b = seed_batch.shape[0]
+    g = neighbors.shape[0]
+    table2 = neighbors if hop2_neighbors is None else hop2_neighbors
+
+    def gather_hop(table, cand):
+        safe = jnp.where(cand >= 0, cand, 0)
+        nb = table[safe]  # [B, F, M] one batched gather
+        nb = jnp.where((cand >= 0)[..., None], nb, -1)
+        return nb.reshape(b, -1)
+
+    dedup = jax.vmap(lambda c: dedup_and_cap(c, g, max_nodes))
+
+    # Precompute nothing beyond hop 1; deeper hops live inside cond branches.
+    hop1 = gather_hop(neighbors, seed_batch)
+
+    def level(hop_idx, cands_so_far):
+        """Dedup what we have; recurse into hop_idx+1 only if needed."""
+        out, cnt = dedup(cands_so_far)
+        if hop_idx + 1 >= depth:
+            return out, cnt
+
+        def go_deeper(_):
+            nxt = gather_hop(table2, cands_so_far[:, -hop_sizes[hop_idx]:])
+            return level(
+                hop_idx + 1, jnp.concatenate([cands_so_far, nxt], axis=1)
+            )
+
+        return jax.lax.cond(
+            jnp.all(cnt >= max_nodes), lambda _: (out, cnt), go_deeper, None
+        )
+
+    # Track each hop's candidate width so the next frontier is exactly the
+    # LAST hop's candidates (not the accumulated list).
+    hop_sizes = []
+    f = seed_batch.shape[1]
+    for h in range(depth):
+        m = (neighbors if h == 0 else table2).shape[1]
+        f = f * m
+        hop_sizes.append(f)
+
+    return level(0, hop1)
+
+
 def expansion_edges_host(
     graph, seeds, *, whitelist=("ANNOTATION", "DESCRIBED_BY"), max_nodes: int = 20
 ):

@@ -555,18 +555,21 @@ class QueryEngine:
         return table[idx]
 
     def _expand_impl(self, bank, seeds, depth: int, max_expanded: int):
-        """Batched k-hop expansion over the ELL bank.  Overridden by the
-        sharded-graph engine with hop gathers hoisted out of the per-query
-        vmap (cross-shard gathers need batched index arrays)."""
-        return jax.vmap(
-            lambda s: expand_k_hop(
-                bank["neighbors"],
-                s,
-                depth=depth,
-                max_nodes=max_expanded,
-                hop2_neighbors=bank["neighbors_hop2"],
-            )
-        )(seeds)
+        """Batched k-hop expansion over the ELL bank with batch-level early
+        exit (deep-hop gathers + the wide dedup only execute while some
+        query is short of the cap — `ops/expand.expand_batch_early_exit`).
+        Overridden by the sharded-graph engine with hop gathers hoisted out
+        of the per-query vmap (cross-shard gathers need batched index
+        arrays)."""
+        from hcrag_tpu.ops.expand import expand_batch_early_exit
+
+        return expand_batch_early_exit(
+            bank["neighbors"],
+            seeds,
+            depth=depth,
+            max_nodes=max_expanded,
+            hop2_neighbors=bank["neighbors_hop2"],
+        )
 
     def _topk_impl(self, q_emb, type_mask, top_k: int, bank):
         """Dense cosine + masked top-k (single-device path).  The sharded

@@ -76,3 +76,13 @@ class TestDistilledEncoder:
     def test_normalized_output(self):
         out = emb.encode(["Touring-1000 Blue, 50", "chain stay"])
         np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+    def test_short_max_len_is_invariant(self):
+        """Query-batch fast path: max_len=64 must produce the SAME embedding
+        as the full 192-token setting for texts that fit (attention and mean
+        pooling both mask padding) — the bench's text->results row relies on
+        this."""
+        texts = ["mountain bike with silver frame", "HL Road Frame, 58"]
+        full = emb.encode(texts)
+        short = emb.encode(texts, max_len=64)
+        np.testing.assert_allclose(short, full, atol=1e-5)

@@ -161,3 +161,53 @@ class TestScorerProperties:
             return
         # any non-negative 4-tuple summing to 1 must validate
         CompositeWeights(a, b, c, d)
+
+
+class TestEarlyExitExpansion:
+    """`expand_batch_early_exit` must equal the vmapped `expand_k_hop` on
+    every input — the batch-level cond is a pure work-skip, never a result
+    change (hop-h candidates precede hop-(h+1) in discovery order, so a
+    query that filled its cap early is final)."""
+
+    @SETTINGS
+    @given(
+        st.integers(min_value=6, max_value=40),   # nodes
+        st.integers(min_value=1, max_value=4),    # degree
+        st.integers(min_value=1, max_value=3),    # depth
+        st.integers(min_value=1, max_value=12),   # max_nodes
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_matches_vmapped_reference(self, g, deg, depth, max_nodes, seed):
+        from hcrag_tpu.ops.expand import expand_batch, expand_batch_early_exit
+
+        rng = np.random.default_rng(seed)
+        neighbors = rng.integers(-1, g, size=(g, deg)).astype(np.int32)
+        seeds = rng.integers(-1, g, size=(3, 4)).astype(np.int32)
+        ref_out, ref_cnt = expand_batch(
+            jnp.asarray(neighbors), jnp.asarray(seeds),
+            depth=int(depth), max_nodes=int(max_nodes),
+        )
+        got_out, got_cnt = expand_batch_early_exit(
+            jnp.asarray(neighbors), jnp.asarray(seeds),
+            depth=int(depth), max_nodes=int(max_nodes),
+        )
+        np.testing.assert_array_equal(np.asarray(got_out), np.asarray(ref_out))
+        np.testing.assert_array_equal(np.asarray(got_cnt), np.asarray(ref_cnt))
+
+    def test_cap_filled_early_and_short(self):
+        from hcrag_tpu.ops.expand import expand_batch, expand_batch_early_exit
+
+        # dense graph: every query fills the cap at hop 1 (early path);
+        # chain graph: counts stay short (deep path) — both must agree.
+        for nbrs, seeds, cap in (
+            (np.tile(np.arange(8, dtype=np.int32), (8, 1)),
+             np.array([[0, 1], [2, 3]], np.int32), 4),
+            (np.array([[i + 1] if i < 7 else [-1] for i in range(8)], np.int32),
+             np.array([[0, -1], [3, -1]], np.int32), 8),
+        ):
+            ref = expand_batch(
+                jnp.asarray(nbrs), jnp.asarray(seeds), depth=3, max_nodes=cap)
+            got = expand_batch_early_exit(
+                jnp.asarray(nbrs), jnp.asarray(seeds), depth=3, max_nodes=cap)
+            np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+            np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
