@@ -43,7 +43,11 @@ def run_direct():
 
     n = int(os.environ.get("BENCH_N", 1_000_000))
     dim = int(os.environ.get("BENCH_DIM", 384))
-    batch = int(os.environ.get("BENCH_BATCH", 512))
+    # B=1024 default: the packed engine path internally splits into
+    # 512-query kernel blocks (VMEM), so doubling the submitted batch
+    # amortizes per-step dispatch/merge — measured 72.8k vs 56.0k QPS at 1M
+    # (benchmarks/results.json:synthetic_1000000).
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
     top_k = int(os.environ.get("BENCH_TOPK", 10))
     depth = int(os.environ.get("BENCH_DEPTH", 1))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
