@@ -87,48 +87,65 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _lane_depth(k: int) -> int:
+    """Per-lane candidates kept by the two-level reduction.  A slot is lost
+    only when > lane_depth of a tile's true top-k share one 128-lane column;
+    expected collisions ~ C(k, T+1)/128^T stay negligible with T=2 up to
+    k=16, T=4 to k=48, T=8 to k=128."""
+    if k <= 16:
+        return 2
+    if k <= 48:
+        return 4
+    return 8
+
+
 def _packed_two_level_select(
     packed_scores, base, *, k: int, k_pad: int
 ):
     """Two-level selection over a packed [B, TILE_N] score matrix.
 
-    Level 1 (one streamed pass over the tile): per-lane top-2 across the
-    TILE_N/128 column groups — 3 VPU ops per group over [B, 128], i.e. about
-    3 full-width passes total, independent of k.  Level 2: the k picks run
-    over the reduced [B, 256] buffer (each pick ~3 ops over 1/8 of a
-    full-width row), instead of k full-width max+mask passes.
+    Level 1 (one streamed pass over the tile): per-lane top-T across the
+    TILE_N/128 column groups (T = `_lane_depth(k)`) — a 2T-op bubble insert
+    per group over [B, 128], independent of k.  Level 2: the k picks run
+    over the T [B, 128] reduction planes via plane promotion, instead of k
+    full-width max+mask passes.
 
     Exactness: packed values carry (score bits | 2047-lane), so per-lane
     maxima preserve scores, original column ids, and lowest-index
-    tie-breaking.  The reduction keeps at most TWO candidates per lane
-    column; a result slot is wrong only when >=3 of the tile's true top-k
-    share one lane (probability ~(k choose 3)/128^2 per tile on exchangeable
-    data — order 1e-3 per tile, and only affects the global result when the
-    lost candidate was globally top-k).  The engine's merge-level
-    exact-rescore governs final recall either way; the non-packed kernels
-    remain the bit-exact option.
+    tie-breaking.  The reduction keeps at most T candidates per lane
+    column; a result slot is wrong only when > T of the tile's true top-k
+    share one lane (~C(k, T+1)/128^T per tile on exchangeable data — e.g.
+    ~1e-3 at k=10/T=2, ~3e-5 at k=100/T=8, and only affects the global
+    result when the lost candidate was globally top-k).  Callers gate this
+    path on a following exact rescore; the non-packed kernels remain the
+    bit-exact option.
+
+    Level-2 picks run over plane 0 ONLY ([B, 128]): the per-lane sorted
+    invariant m[0] >= m[1] >= ... makes max(m[0]) the global max, packed
+    lane bits make cross-lane ties impossible (the pick hits exactly one
+    lane), and shifting the lane's remaining planes up restores the
+    invariant — 1/groups of the per-pick VPU work of full-width masking.
     """
     b, tile_n = packed_scores.shape
     lanes = 128
     groups = tile_n // lanes
-    # Streaming per-lane top-2 merge over static lane-aligned slices.
-    m1 = packed_scores[:, :lanes]
-    m2 = jnp.zeros_like(m1)
+    t = _lane_depth(k)
+    # Streaming per-lane top-T bubble insert over static lane-aligned slices.
+    m = [packed_scores[:, :lanes]] + [
+        jnp.zeros((b, lanes), jnp.int32) for _ in range(t - 1)
+    ]
     for g in range(1, groups):
         s = packed_scores[:, g * lanes : (g + 1) * lanes]
-        m2 = jnp.maximum(m2, jnp.minimum(m1, s))
-        m1 = jnp.maximum(m1, s)
+        for i in range(t):
+            hi = jnp.maximum(m[i], s)
+            s = jnp.minimum(m[i], s)
+            m[i] = hi
 
     vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
     idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
-    # Level-2 picks over m1 ONLY ([B, 128], half the reduced width): the
-    # per-lane invariant m1 >= m2 makes max(m1) the global max, packed lane
-    # bits make cross-lane ties impossible (sel hits exactly one lane), and
-    # promoting m2 into the picked lane restores the invariant — ~half the
-    # per-pick VPU work of masking over the [B, 256] concatenation.
     for j in range(k):
-        best = jnp.max(m1, axis=1)
+        best = jnp.max(m[0], axis=1)
         lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
         val = pltpu.bitcast(
             (best & jnp.int32(~0x7FF))[:, None], jnp.float32
@@ -141,16 +158,18 @@ def _packed_two_level_select(
         idxs_acc = jnp.where(
             sel_slot, jnp.where(valid, lane + base, -1)[:, None], idxs_acc
         )
-        picked = m1 == best[:, None]
-        m1 = jnp.where(picked, m2, m1)
-        m2 = jnp.where(picked, jnp.int32(0), m2)
+        picked = m[0] == best[:, None]
+        for i in range(t - 1):
+            m[i] = jnp.where(picked, m[i + 1], m[i])
+        m[t - 1] = jnp.where(picked, jnp.int32(0), m[t - 1])
     return vals_acc, idxs_acc
 
 
 def _use_two_level(k: int, tile_n: int) -> bool:
     """Two-level selection pays off while k x full-width passes dominate the
-    one-pass reduction, and stays accurate while k << 2 candidates/lane."""
-    return k <= 16 and tile_n >= 256 and tile_n % 128 == 0
+    streamed per-lane reduction, and stays accurate while k <= 128 at the
+    `_lane_depth(k)` candidates/lane (see `_packed_two_level_select`)."""
+    return k <= 128 and tile_n >= 256 and tile_n % 128 == 0
 
 
 def _resolve_two_level(two_level, k: int, tile_n: int) -> bool:

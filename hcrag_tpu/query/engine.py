@@ -428,12 +428,12 @@ class QueryEngine:
             while tile > 512 and footprint(tile) > budget:
                 tile //= 2
 
-            # Two-level tile reduction is approximate (>=3-per-lane
-            # collisions drop a candidate); enable it exactly when the
-            # merge oversamples for a following exact f32 rescore, which
-            # recovers any dropped row.  merge_k > 0 <=> a rescore follows
-            # (`_rescore_m`), so this is the precise gate.
-            two_level = merge_k > 0
+            # Two-level tile reduction is approximate (> lane_depth
+            # per-lane collisions drop a candidate); enable it exactly when
+            # an exact f32 rescore follows (`packed` <=> exact_rescore > 0
+            # — the rescore runs whenever configured, including top_k >=
+            # the oversample where merge_k stays 0).
+            two_level = packed
             if b <= sub_b:
                 return pallas_cosine_top_k(
                     q_emb, emb, type_mask, top_k, tile_n=tile,
@@ -492,12 +492,13 @@ class QueryEngine:
                 # cross-tile merge keeps fetch_k of the per-tile candidates.
                 # Measured at 1M: in-kernel m=32 cost 3.9x throughput; the
                 # merge-level variant is ~free.
-                # Two-level reduction only when the merge oversamples for a
-                # following exact rescore (int8_rescore > 0 <=> merge_k > 0):
-                # without one, a >=3-per-lane collision would silently drop
-                # a true top-k row, so int8-only mode keeps the exhaustive
+                # Two-level reduction only when an exact rescore follows
+                # (int8_rescore > 0 — the rescore also runs when top_k >=
+                # the oversample, where merge_k stays 0): without one, a
+                # > lane_depth per-lane collision would silently drop a
+                # true top-k row, so int8-only mode keeps the exhaustive
                 # k-pass packed loop (quantization noise only).
-                two_level = merge_k > 0
+                two_level = self.int8_rescore > 0
                 if b <= sub_b:
                     return pallas_cosine_top_k_int8(
                         q_emb, e8, bank["emb_scale"], type_mask, top_k,

@@ -294,3 +294,68 @@ class TestInt8KernelInterpret:
         assert v.shape[1] <= 2 * 128  # bounded by candidate pool width
         valid = i >= 0
         assert valid[:, :10].all()  # the true candidates lead
+
+
+class TestMediumKTwoLevel:
+    """Generalized per-lane top-T reduction (16 < k <= 128, lane_depth 4/8):
+    the expansion-heavy config's k=100 selection path."""
+
+    def test_k100_matches_kpass_on_random_data(self):
+        import jax.numpy as jnp
+
+        import hcrag_tpu.ops.topk_pallas as tp
+
+        q, e = _setup(8192, 128, 4, seed=21)
+        mask = np.ones(8192, bool)
+        kw = dict(tile_n=2048, interpret=True, packed_select=True)
+        assert tp._use_two_level(100, 2048) and tp._lane_depth(100) == 8
+        v_new, i_new = tp.pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 100,
+            two_level=True, **kw)
+        v_old, i_old = tp.pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 100,
+            two_level=False, **kw)
+        np.testing.assert_array_equal(np.asarray(i_new), np.asarray(i_old))
+        np.testing.assert_array_equal(np.asarray(v_new), np.asarray(v_old))
+
+    def test_k32_lane_depth4_matches_kpass(self):
+        import jax.numpy as jnp
+
+        import hcrag_tpu.ops.topk_pallas as tp
+
+        q, e = _setup(4096, 128, 2, seed=22)
+        mask = np.ones(4096, bool)
+        assert tp._lane_depth(32) == 4
+        kw = dict(tile_n=1024, interpret=True, packed_select=True)
+        v_new, i_new = tp.pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 32,
+            two_level=True, **kw)
+        v_old, i_old = tp.pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 32,
+            two_level=False, **kw)
+        np.testing.assert_array_equal(np.asarray(i_new), np.asarray(i_old))
+
+    def test_lane_collision_bounded_by_depth(self):
+        """Plant lane_depth+1 dominating rows in ONE lane at k=32 (T=4):
+        the top-4 of the lane survive, the 5th collides out, the result
+        stays valid/distinct (the documented bound)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(1)
+        d = 128
+        e = rng.standard_normal((1024, d)).astype(np.float32) * 0.01
+        q = rng.standard_normal((1, d)).astype(np.float32)
+        q /= np.linalg.norm(q)
+        rows = [5, 133, 261, 389, 517]  # same lane (5 mod 128), one tile
+        for rank, row in enumerate(rows):
+            e[row] = q[0] * (1.0 - 0.01 * rank)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        v, i = pallas_cosine_top_k(
+            jnp.asarray(q), jnp.asarray(e), jnp.asarray(np.ones(1024, bool)),
+            32, tile_n=1024, interpret=True, packed_select=True,
+            two_level=True,
+        )
+        got = list(np.asarray(i)[0])
+        assert got[:4] == rows[:4]
+        assert rows[4] not in got
+        assert len(set(got)) == 32
