@@ -391,6 +391,11 @@ def pallas_cosine_top_k_int8(
     assert d % 128 == 0
     assert not (packed_select and tile_n > 2048), "packed lane field is 11 bits"
     k = min(top_k, n)
+    assert k <= 128, (
+        f"per-tile candidate blocks are 128-wide (k={k}); selection"
+        " beyond 128 per tile would silently truncate — raise tile"
+        " candidate width or use the streaming XLA path"
+    )
 
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
@@ -497,6 +502,11 @@ def pallas_cosine_top_k(
     n = index_emb.shape[0]
     assert d % 128 == 0, f"embedding dim {d} must be a multiple of 128"
     k = min(top_k, n)
+    assert k <= 128, (
+        f"per-tile candidate blocks are 128-wide (k={k}); selection"
+        " beyond 128 per tile would silently truncate — raise tile"
+        " candidate width or use the streaming XLA path"
+    )
 
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
