@@ -25,7 +25,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from hcrag_tpu.core.types import (
     NUM_METRICS,

@@ -12,7 +12,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Dict, Optional
 
-import jax
 import numpy as np
 
 

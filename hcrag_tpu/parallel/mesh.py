@@ -9,7 +9,7 @@ replicated.  This module owns mesh construction; sharding rules live in
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -18,7 +18,6 @@ single-device engine.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -49,10 +49,8 @@ from hcrag_tpu.ingest.entities import (
     extract_entities_from_content,
     infer_query_intent,
 )
-from hcrag_tpu.ops.expand import expand_k_hop
 from hcrag_tpu.ops.scoring import entity_match_scores, popcount_words
 from hcrag_tpu.ops.similarity import (
-    chunked_top_k,
     masked_top_k,
     streaming_masked_top_k,
 )

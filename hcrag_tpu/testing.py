@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import List
 
-import numpy as np
 
 from hcrag_tpu.core.types import NodeInput, QueryInput, QueryIntent
 from hcrag_tpu.models.embedder import HashingEmbedder

@@ -7,7 +7,7 @@ multi-GB corpora materialize quickly without blowing host RAM.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
