@@ -290,3 +290,24 @@ class TestCollectiveTraffic:
         # nothing else rides the wire in this step
         others = [c for c in colls if c[0] not in ("all-gather", "all-reduce")]
         assert others == []
+
+
+class TestShardedDynamicWeights:
+    def test_dynamic_tensor_matches_single_device(self, bundle, rng):
+        """The v0 dynamic weight tensor must flow through the sharded step
+        (replicated like the flat weight vector) and give identical results
+        to the single-device engine."""
+        from hcrag_tpu.pipeline.scorer_designs import (
+            canonical_dynamic_weight_tensor,
+        )
+
+        mesh = make_row_mesh(8)
+        sh = ShardedQueryEngine(bundle.index, bundle.graph, mesh=mesh)
+        single = QueryEngine(bundle.index, bundle.graph)
+        q = rng.standard_normal((4, 384)).astype(np.float32)
+        dyn = canonical_dynamic_weight_tensor()
+        r1 = single.query_batch(q, top_k=7, dynamic_weight_tensor=dyn)
+        r2 = sh.query_batch(q, top_k=7, dynamic_weight_tensor=dyn)
+        np.testing.assert_array_equal(r1.top_indices, r2.top_indices)
+        np.testing.assert_allclose(r1.relevance, r2.relevance, atol=1e-5)
+        np.testing.assert_allclose(r1.combined, r2.combined, atol=1e-5)
