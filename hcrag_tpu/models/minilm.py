@@ -141,6 +141,24 @@ class WordPieceTokenizer:
         self.sep_id = self.vocab.get("[SEP]", 102)
         self.unk_id = self.vocab.get("[UNK]", 100)
         self.vocab_size = len(self.vocab)
+        self._native = None
+        self._native_tried = False
+
+    def _native_tokenizer(self):
+        """Lazy native (C++) tokenizer — byte-exact with the Python path on
+        the test corpus (tests/unit/test_native.py); None -> pure Python."""
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from hcrag_tpu.native import NativeWordPiece
+
+                words = [
+                    w for w, _ in sorted(self.vocab.items(), key=lambda kv: kv[1])
+                ]
+                self._native = NativeWordPiece.create(words)
+            except Exception:
+                self._native = None
+        return self._native
 
     def _wordpiece(self, word: str):
         if word in self.vocab:
@@ -170,6 +188,17 @@ class WordPieceTokenizer:
         the 192-token corpus-row setting with identical embeddings for
         shorter texts (mean pooling and attention both mask padding)."""
         max_len = min(max_len, self.max_len) if max_len else self.max_len
+        native = self._native_tokenizer()
+        if native is not None:
+            return native.encode_batch(
+                texts, max_len, lowercase=self.lowercase,
+                cls_id=self.cls_id, sep_id=self.sep_id, unk_id=self.unk_id,
+            )
+        return self._encode_batch_py(texts, max_len)
+
+    def _encode_batch_py(self, texts: Sequence[str], max_len: int):
+        """Pure-Python reference path (also the native tokenizer's parity
+        oracle in tests)."""
         ids = np.zeros((len(texts), max_len), dtype=np.int32)
         mask = np.zeros((len(texts), max_len), dtype=np.int32)
         for i, text in enumerate(texts):

@@ -121,3 +121,95 @@ def bucket_df(
     df = np.zeros(dim, dtype=np.int64)
     lib.bucket_df(blob, offsets, len(texts), dim, int(use_bigrams), df)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Native WordPiece tokenizer (wordpiece.cpp — its own .so, same pattern)
+# ---------------------------------------------------------------------------
+
+_WP_SRC = Path(__file__).parent / "wordpiece.cpp"
+_WP_SO = Path(__file__).parent / "libwordpiece.so"
+_WP_LIB: Optional[ctypes.CDLL] = None
+_WP_FAILED = False
+
+
+def _wp_load() -> Optional[ctypes.CDLL]:
+    global _WP_LIB, _WP_FAILED
+    with _LIB_LOCK:
+        if _WP_LIB is not None or _WP_FAILED:
+            return _WP_LIB
+        if not _WP_SO.exists() or _WP_SO.stat().st_mtime < _WP_SRC.stat().st_mtime:
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     str(_WP_SRC), "-o", str(_WP_SO)],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                _WP_FAILED = True
+                return None
+        try:
+            lib = ctypes.CDLL(str(_WP_SO))
+            lib.wp_create.argtypes = [
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                ctypes.c_int64,
+            ]
+            lib.wp_create.restype = ctypes.c_void_p
+            lib.wp_destroy.argtypes = [ctypes.c_void_p]
+            lib.wp_destroy.restype = None
+            lib.wp_encode_batch.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                np.ctypeslib.ndpointer(np.int64, flags="C"),
+                ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.int32, flags="C"),
+                np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ]
+            lib.wp_encode_batch.restype = None
+            _WP_LIB = lib
+        except OSError:
+            _WP_FAILED = True
+        return _WP_LIB
+
+
+class NativeWordPiece:
+    """Handle over the C++ WordPiece tokenizer.  `create` returns None when
+    the native library is unavailable — callers keep the Python path."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._handle = handle
+
+    @classmethod
+    def create(cls, vocab_words: Sequence[str]) -> Optional["NativeWordPiece"]:
+        lib = _wp_load()
+        if lib is None:
+            return None
+        blob, offsets = _pack(vocab_words)
+        handle = lib.wp_create(blob, offsets, len(vocab_words))
+        return cls(lib, handle)
+
+    def encode_batch(
+        self, texts: Sequence[str], max_len: int, *, lowercase: bool,
+        cls_id: int, sep_id: int, unk_id: int,
+    ):
+        blob, offsets = _pack(texts)
+        ids = np.zeros((len(texts), max_len), dtype=np.int32)
+        mask = np.zeros((len(texts), max_len), dtype=np.int32)
+        self._lib.wp_encode_batch(
+            self._handle, blob, offsets, len(texts),
+            np.int32(max_len), np.int32(lowercase),
+            np.int32(cls_id), np.int32(sep_id), np.int32(unk_id),
+            ids, mask,
+        )
+        return ids, mask
+
+    def __del__(self):
+        try:
+            if self._handle:
+                self._lib.wp_destroy(self._handle)
+        except Exception:
+            pass

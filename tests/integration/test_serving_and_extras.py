@@ -231,3 +231,66 @@ class TestIncrementalUpdates:
         idx = synthetic_dense_index(64, 32, seed=13)
         mask = idx.mask_where(lambda m: m["row_index"] % 2 == 0)
         assert mask.sum() == 32
+
+
+class TestNativeWordPiece:
+    """Native (C++) WordPiece tokenizer — byte-exact vs the Python
+    reference on corpus texts and adversarial strings."""
+
+    @pytest.fixture(scope="class")
+    def tok(self):
+        import os
+
+        from hcrag_tpu.models.minilm import WordPieceTokenizer
+
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        vocab = os.path.join(repo, "tools", "minilm_distilled_vocab.txt")
+        if not os.path.exists(vocab):
+            pytest.skip("distilled vocab absent")
+        return WordPieceTokenizer(vocab, max_len=192)
+
+    def test_native_available_and_corpus_parity(self, tok):
+        import pickle
+
+        native = tok._native_tokenizer()
+        if native is None:
+            pytest.skip("native toolchain unavailable")
+        with open(
+            "/root/reference/experiments/knowledge_graph_embeddings.pkl", "rb"
+        ) as f:
+            texts = pickle.load(f)["texts"]
+        ids_n, mask_n = native.encode_batch(
+            texts, 192, lowercase=True, cls_id=tok.cls_id,
+            sep_id=tok.sep_id, unk_id=tok.unk_id,
+        )
+        ids_p, mask_p = tok._encode_batch_py(texts, 192)
+        np.testing.assert_array_equal(ids_n, ids_p)
+        np.testing.assert_array_equal(mask_n, mask_p)
+
+    def test_adversarial_strings_parity(self, tok):
+        native = tok._native_tokenizer()
+        if native is None:
+            pytest.skip("native toolchain unavailable")
+        texts = [
+            "",
+            "   ",
+            "a",
+            "UPPER lower MiXeD 123",
+            "punctuation!!! and, some; (brackets) [here] {too} <ok>",
+            "hyphen-ated under_scored dot.sep slash/sep",
+            "word " * 300,  # truncation at max_len-1
+            "x" * 500,      # one giant word -> char pieces or [UNK]
+            "tabs\tand\nnewlines\r\nmixed \x1c tokens",
+            "unicode café — dash   nbsp 　 ideographic",
+            "emoji \U0001F6B2 ride",
+            "price: $1,234.56 (20% off!)",
+        ]
+        for ml in (16, 64, 192):
+            ids_n, mask_n = native.encode_batch(
+                texts, ml, lowercase=True, cls_id=tok.cls_id,
+                sep_id=tok.sep_id, unk_id=tok.unk_id,
+            )
+            ids_p, mask_p = tok._encode_batch_py(texts, ml)
+            np.testing.assert_array_equal(ids_n, ids_p, err_msg=f"max_len={ml}")
+            np.testing.assert_array_equal(mask_n, mask_p)
