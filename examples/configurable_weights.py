@@ -8,8 +8,10 @@ Run: PYTHONPATH=. python examples/configurable_weights.py
 """
 
 import os
+import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hcrag_tpu.config import reset_global_config, set_composite_weights
 from hcrag_tpu.core.types import CompositeWeights, ScorerType
