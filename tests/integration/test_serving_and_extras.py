@@ -294,3 +294,17 @@ class TestNativeWordPiece:
             ids_p, mask_p = tok._encode_batch_py(texts, ml)
             np.testing.assert_array_equal(ids_n, ids_p, err_msg=f"max_len={ml}")
             np.testing.assert_array_equal(mask_n, mask_p)
+
+    def test_python_fallback_when_native_absent(self, tok):
+        """Forcing the native handle away must silently use the Python path
+        with identical output (the graceful-degradation contract)."""
+        texts = ["mountain bike", "price: $9.99"]
+        want = tok._encode_batch_py(texts, 32)
+        saved = (tok._native, tok._native_tried)
+        try:
+            tok._native, tok._native_tried = None, True
+            got = tok.encode_batch(texts, max_len=32)
+        finally:
+            tok._native, tok._native_tried = saved
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
