@@ -390,17 +390,19 @@ class QueryEngine:
             ebytes = emb.dtype.itemsize
             d = emb.shape[1]
             # Packed two-level selection whenever an exact-rescore stage
-            # follows: the one-pass per-lane top-2 reduction removes the
-            # k full-width selection passes (+40% at 1M/B=512, putting the
-            # bf16 step AT the measured HBM ceiling), and the candidates'
-            # 2^-11 packed score rounding is nullified by the f32 rescore.
-            # Without a rescore stage the exact kernel keeps bit-exact
-            # scores/ties (the parity contract).  Packed lanes are 11 bits,
-            # so the packed path caps the tile at 2048; it also carries a
-            # second [sub_b, tile] int32 buffer (the packed copy), so large
-            # batches split at 512 queries to keep the 2048 tile rather
-            # than shrinking the tile (measured: B=1024 single-block at
-            # tile<=1024 ran 34.4k QPS vs 45.2k for 512-query blocks).
+            # follows: the streamed per-lane top-T reduction removes the
+            # k full-width selection passes (the dominant selection cost),
+            # and the candidates' 2^-11 packed score rounding is nullified
+            # by the f32 rescore.  Without a rescore stage the exact kernel
+            # keeps bit-exact scores/ties (the parity contract).  Packed
+            # lanes are 11 bits, so the packed path caps the tile at 2048;
+            # it also carries a second [sub_b, tile] int32 buffer (the
+            # packed copy), so large batches split at 512 queries to keep
+            # the 2048 tile rather than shrinking it — re-confirmed in
+            # round 3: 2x512 blocks at tile 2048 beat one 1024 block at
+            # tile 1024 (19.5 vs 23.0 ms; the kernel is compute-bound, so
+            # re-reading the bank is cheaper than per-tile fixed work —
+            # results.json:b1024_block_split_ablation_ms).
             packed = self.exact_rescore > 0
             sub_b = min(b, 512 if packed else 1024)
 
@@ -419,9 +421,9 @@ class QueryEngine:
             # Budget against the 16 MB scoped-VMEM limit.  The packed
             # branch gets a higher allowance: its estimate counts the packed
             # int32 copy explicitly (13.4 MB at sub_b=512/tile=2048/bf16 —
-            # measured to fit and run at the HBM ceiling), while the
-            # non-packed f32-HIGHEST path needs headroom for Mosaic's 3-pass
-            # decomposition temps the formula can't see.
+            # measured to fit), while the non-packed f32-HIGHEST path needs
+            # headroom for Mosaic's 3-pass decomposition temps the formula
+            # can't see.
             budget = (14 << 20) if packed else (11 << 20)
             while tile > 512 and footprint(tile) > budget:
                 tile //= 2
