@@ -146,7 +146,14 @@ class WordPieceTokenizer:
 
     def _native_tokenizer(self):
         """Lazy native (C++) tokenizer — byte-exact with the Python path on
-        the test corpus (tests/unit/test_native.py); None -> pure Python."""
+        the test corpus (tests/unit/test_native.py); None -> pure Python.
+
+        The C++ side lowercases ASCII only, while Python str.lower() is full
+        Unicode — a divergence only reachable through non-ASCII TEXT (e.g.
+        'É' maps to a lowercase vocab id in Python but stays 'É' natively).
+        For pure-ASCII text the two lowerings agree and vocab lookups are
+        byte-exact regardless of vocab content, so `encode_batch` routes
+        non-ASCII rows to the Python path and keeps native for the rest."""
         if not self._native_tried:
             self._native_tried = True
             try:
@@ -189,12 +196,32 @@ class WordPieceTokenizer:
         shorter texts (mean pooling and attention both mask padding)."""
         max_len = min(max_len, self.max_len) if max_len else self.max_len
         native = self._native_tokenizer()
-        if native is not None:
-            return native.encode_batch(
-                texts, max_len, lowercase=self.lowercase,
-                cls_id=self.cls_id, sep_id=self.sep_id, unk_id=self.unk_id,
+        if native is None:
+            return self._encode_batch_py(texts, max_len)
+        if self.lowercase and not all(t.isascii() for t in texts):
+            # Unicode lowercasing divergence (see _native_tokenizer): keep
+            # the native path for the ASCII rows, Python for the rest.
+            texts = list(texts)
+            ascii_rows = [i for i, t in enumerate(texts) if t.isascii()]
+            other_rows = [i for i, t in enumerate(texts) if not t.isascii()]
+            ids = np.zeros((len(texts), max_len), dtype=np.int32)
+            mask = np.zeros((len(texts), max_len), dtype=np.int32)
+            if ascii_rows:
+                ids_a, mask_a = native.encode_batch(
+                    [texts[i] for i in ascii_rows], max_len,
+                    lowercase=self.lowercase, cls_id=self.cls_id,
+                    sep_id=self.sep_id, unk_id=self.unk_id,
+                )
+                ids[ascii_rows], mask[ascii_rows] = ids_a, mask_a
+            ids_p, mask_p = self._encode_batch_py(
+                [texts[i] for i in other_rows], max_len
             )
-        return self._encode_batch_py(texts, max_len)
+            ids[other_rows], mask[other_rows] = ids_p, mask_p
+            return ids, mask
+        return native.encode_batch(
+            texts, max_len, lowercase=self.lowercase,
+            cls_id=self.cls_id, sep_id=self.sep_id, unk_id=self.unk_id,
+        )
 
     def _encode_batch_py(self, texts: Sequence[str], max_len: int):
         """Pure-Python reference path (also the native tokenizer's parity

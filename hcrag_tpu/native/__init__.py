@@ -8,6 +8,7 @@ gracefully (`available()` gates all call sites).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -24,17 +25,39 @@ _SRC = Path(__file__).parent / "fasthash.cpp"
 _SO = Path(__file__).parent / "libfasthash.so"
 
 
-def _build() -> bool:
+def _src_hash(src: Path) -> str:
+    return hashlib.sha256(src.read_bytes()).hexdigest()
+
+
+def _so_current(src: Path, so: Path) -> bool:
+    """True iff `so` exists and its sidecar records the hash of `src`.
+
+    mtime comparison is unreliable after a fresh clone (both files get
+    checkout-time stamps in arbitrary order), so currency is keyed on the
+    SOURCE CONTENT: builds write `<so>.srchash`; a binary without a matching
+    sidecar — stale, foreign, or checked out — is rebuilt."""
+    sidecar = so.with_suffix(so.suffix + ".srchash")
+    try:
+        return (
+            so.exists()
+            and sidecar.read_text().strip() == _src_hash(src)
+        )
+    except OSError:
+        return False
+
+
+def _build_so(src: Path, so: Path) -> bool:
     try:
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                str(_SRC), "-o", str(_SO),
+                str(src), "-o", str(so),
             ],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        so.with_suffix(so.suffix + ".srchash").write_text(_src_hash(src))
         return True
     except Exception:
         return False
@@ -45,8 +68,8 @@ def _load() -> Optional[ctypes.CDLL]:
     with _LIB_LOCK:
         if _LIB is not None or _LIB_FAILED:
             return _LIB
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _build():
+        if not _so_current(_SRC, _SO):
+            if not _build_so(_SRC, _SO):
                 _LIB_FAILED = True
                 return None
         try:
@@ -138,14 +161,8 @@ def _wp_load() -> Optional[ctypes.CDLL]:
     with _LIB_LOCK:
         if _WP_LIB is not None or _WP_FAILED:
             return _WP_LIB
-        if not _WP_SO.exists() or _WP_SO.stat().st_mtime < _WP_SRC.stat().st_mtime:
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     str(_WP_SRC), "-o", str(_WP_SO)],
-                    check=True, capture_output=True, timeout=120,
-                )
-            except Exception:
+        if not _so_current(_WP_SRC, _WP_SO):
+            if not _build_so(_WP_SRC, _WP_SO):
                 _WP_FAILED = True
                 return None
         try:

@@ -181,7 +181,12 @@ def _resolve_two_level(two_level, k: int, tile_n: int) -> bool:
     False = force the exhaustive k-pass loop.  Callers that do NOT follow the
     selection with an exact rescore must pass False: the per-lane top-2
     reduction can drop a true top-k row when >=3 of a tile's top-k share one
-    128-lane column, and only a rescore stage recovers it.
+    128-lane column.  Note the rescore does NOT recover such a drop — it
+    only re-ranks the fetched candidate pool (nullifying the packed
+    encoding's ~2^-11 score rounding); a row dropped at tile level is gone.
+    Safety against drops is probabilistic (the >=3-per-lane collision odds
+    are tiny at tile_n>=256) and ENFORCED by the bench recall gate, so
+    two-level stays restricted to rescored paths where the gate watches it.
     """
     feasible = _use_two_level(k, tile_n)
     if two_level is None:
@@ -382,7 +387,8 @@ def pallas_cosine_top_k_int8(
     (see `_resolve_two_level`): None = auto when shape-feasible, False =
     exhaustive k-pass loop.  Callers without a following exact rescore MUST
     pass False — two-level can drop a true top-k row on >=3-per-lane
-    collisions, and only a rescore recovers it."""
+    collisions, and a drop is permanent (the rescore only re-ranks the
+    fetched pool; see `_resolve_two_level` for the actual safety story)."""
     from hcrag_tpu.ops.quantize import quantize_queries
 
     b, d = query_emb.shape

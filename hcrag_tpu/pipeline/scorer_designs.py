@@ -70,8 +70,15 @@ class NodeTypePriorityMetric(RelevanceMetric):
 
 
 class GraphCentralityMetric(RelevanceMetric):
-    """Degree centrality min(degree/50, 1), optionally blended with
-    relationship weights (relevance_scorer.py:241-269)."""
+    """Degree centrality min(degree/50, 1), blended 50/50 with the mean
+    relationship weight when the node carries one (relevance_scorer.py:241-269).
+
+    Degree resolution order mirrors the reference's `graph_relations`
+    contract: explicit `incoming`/`outgoing` lists are summed
+    (relevance_scorer.py:249-252); a scalar `degree` or a `neighbors` list
+    are accepted as the vectorized pipeline's equivalents.  When a
+    `relationship_weights` dict is present and non-empty, the final score is
+    `(degree_score + mean(weights)) / 2` (relevance_scorer.py:260-264)."""
 
     name = "graph_centrality"
 
@@ -81,10 +88,66 @@ class GraphCentralityMetric(RelevanceMetric):
     def score_batch(self, query, nodes):
         out = []
         for node in nodes:
-            degree = node.graph_relations.get("degree")
-            if degree is None:
-                degree = len(node.graph_relations.get("neighbors", []))
-            out.append(min(float(degree) / self.scale, 1.0))
+            rel = node.graph_relations
+            if "incoming" in rel or "outgoing" in rel:
+                degree = len(rel.get("incoming", [])) + len(
+                    rel.get("outgoing", [])
+                )
+            else:
+                degree = rel.get("degree")
+                if degree is None:
+                    degree = len(rel.get("neighbors", []))
+            score = min(float(degree) / self.scale, 1.0)
+            weights = rel.get("relationship_weights", {})
+            if weights:
+                weighted = sum(weights.values()) / len(weights)
+                score = (score + weighted) / 2.0
+            out.append(score)
+        return out
+
+
+def v0_content_boost(content_length: int, content_quality: float) -> float:
+    """The v0 semantic scorer's content-quality boost
+    (relevance_scorer_design.py:136-148): x1.1 for substantial content
+    (length > 100), x1.15 for high-quality content (quality > 0.8);
+    multiplicative, applied to the base similarity, final score capped at
+    1.0 by the caller."""
+    boost = 1.0
+    if content_length > 100:
+        boost *= 1.1
+    if content_quality > 0.8:
+        boost *= 1.15
+    return boost
+
+
+class V0SemanticSimilarityMetric(RelevanceMetric):
+    """v0's SemanticSimilarityScorer.score
+    (relevance_scorer_design.py:115-148): base similarity = the node's
+    precomputed `score` when > 0, else a fresh non-negative dot product;
+    then the content boosts of `v0_content_boost`, capped at 1.0.
+
+    `content_length` defaults to len(node.text); `content_quality` is read
+    from `graph_relations["content_quality"]` (the NodeContext field's home
+    in the vectorized pipeline, default 0.0 = no boost).
+
+    Note: the v0 fresh path is a RAW dot product (:129), not the canonical
+    metric's cosine — embeddings are assumed pre-normalized upstream."""
+
+    name = "semantic_similarity"
+
+    def score_batch(self, query, nodes):
+        nodes = list(nodes)
+        q = np.asarray(query.embeddings, dtype=np.float32)
+        fresh = np.stack(
+            [np.asarray(n.embeddings, np.float32) for n in nodes]
+        ) @ q
+        out = []
+        for i, node in enumerate(nodes):
+            base = node.score if node.score > 0 else max(0.0, float(fresh[i]))
+            rel = node.graph_relations
+            length = int(rel.get("content_length", len(node.text)))
+            quality = float(rel.get("content_quality", 0.0))
+            out.append(min(1.0, base * v0_content_boost(length, quality)))
         return out
 
 
@@ -340,7 +403,12 @@ class DynamicWeightScorer:
         s = np.stack([per_metric[m.name] for m in self.metrics], axis=1)
         total = np.maximum(w.sum(axis=1), 1e-12)
         combined = (w * s).sum(axis=1) / total
-        conf = np.clip(1.0 - np.std(s, axis=1), 0.0, 1.0)
+        if s.shape[1] <= 1:
+            # v0 reports a fixed moderate confidence with a single component
+            # (relevance_scorer_design.py:585-590), not 1 - std == 1.0.
+            conf = np.full(s.shape[0], 0.5)
+        else:
+            conf = np.clip(1.0 - np.std(s, axis=1), 0.0, 1.0)
         out = []
         for i in range(len(nodes)):
             row = {name: float(v[i]) for name, v in per_metric.items()}

@@ -308,3 +308,57 @@ class TestNativeWordPiece:
             tok._native, tok._native_tried = saved
         np.testing.assert_array_equal(got[0], want[0])
         np.testing.assert_array_equal(got[1], want[1])
+
+
+class TestNativeUnicodeGuards:
+    """Round-4 ADVICE fix: the C++ tokenizer lowercases ASCII only, so the
+    native path must be refused for non-ASCII vocabs and non-ASCII texts
+    must route through the full-Unicode Python path."""
+
+    def _write_vocab(self, tmp_path, words):
+        p = tmp_path / "vocab.txt"
+        p.write_text("\n".join(words) + "\n", encoding="utf-8")
+        return str(p)
+
+    def test_unicode_lowercase_text_hits_vocab(self, tmp_path):
+        from hcrag_tpu.models.minilm import WordPieceTokenizer
+
+        # The word splitter emits non-ASCII chars as standalone tokens, so
+        # the divergence-prone vocab entries are single non-ASCII chars:
+        # Python lowers 'É' -> 'é' (vocab hit), ASCII-only lowering misses.
+        # The public encode_batch must take the Python path for such text
+        # even when the native tokenizer is active.
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "é", "bike", "##s"]
+        tok = WordPieceTokenizer(self._write_vocab(tmp_path, vocab))
+        ids, _ = tok.encode_batch(["É"], max_len=8)
+        assert ids[0, 1] == tok.vocab["é"]
+        ids2, _ = tok.encode_batch(["bikes"], max_len=8)
+        assert list(ids2[0, 1:3]) == [tok.vocab["bike"], tok.vocab["##s"]]
+
+    def test_non_ascii_vocab_native_ok_without_lowercase(self, tmp_path):
+        from hcrag_tpu.models.minilm import WordPieceTokenizer
+
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "café", "bike"]
+        tok = WordPieceTokenizer(
+            self._write_vocab(tmp_path, vocab), lowercase=False
+        )
+        native = tok._native_tokenizer()
+        if native is None:
+            pytest.skip("native toolchain unavailable")
+        ids_n, mask_n = tok.encode_batch(["café bike"], max_len=8)
+        ids_p, mask_p = tok._encode_batch_py(["café bike"], 8)
+        np.testing.assert_array_equal(ids_n, ids_p)
+        np.testing.assert_array_equal(mask_n, mask_p)
+
+    def test_mixed_batch_routes_non_ascii_rows_to_python(self, tmp_path):
+        from hcrag_tpu.models.minilm import WordPieceTokenizer
+
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "bike", "ride", "##r"]
+        tok = WordPieceTokenizer(self._write_vocab(tmp_path, vocab))
+        if tok._native_tokenizer() is None:
+            pytest.skip("native toolchain unavailable")
+        texts = ["bike rider", "CAFÉ É ride", "ride", "É" * 40]
+        got_ids, got_mask = tok.encode_batch(texts, max_len=16)
+        want_ids, want_mask = tok._encode_batch_py(texts, 16)
+        np.testing.assert_array_equal(got_ids, want_ids)
+        np.testing.assert_array_equal(got_mask, want_mask)

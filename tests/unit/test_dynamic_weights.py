@@ -261,3 +261,153 @@ class TestFusedDynamicReduction:
         ref = eng.query_batch(q, top_k=5)
         assert res.top_indices.shape == ref.top_indices.shape
         assert not np.allclose(res.relevance, ref.relevance)
+
+
+class TestV0ScorerDetails:
+    """Round-4 parity items: content-quality boost factors
+    (relevance_scorer_design.py:136-148), single-component confidence
+    (:585-590), and the GraphCentralityMetric relationship-weight blend
+    (relevance_scorer.py:241-269) — each re-derived independently here."""
+
+    def _query(self):
+        q = np.zeros(4, np.float32)
+        q[0] = 1.0
+        return QueryInput(
+            text="q", embeddings=q, entities=[],
+            intent=QueryIntent.PRODUCT_SEARCH,
+        )
+
+    def _node(self, text="n", relations=None, emb=None, score=0.0,
+              node_type="product"):
+        if emb is None:
+            emb = np.zeros(4, np.float32)
+        return NodeInput(
+            text=text, embeddings=emb, graph_relations=relations or {},
+            node_type=node_type, entities=[], score=score,
+        )
+
+    @staticmethod
+    def _ref_v0_semantic(similarity_score, content_embedding, query_embedding,
+                         content_length, content_quality):
+        """Literal transcription of SemanticSimilarityScorer.score
+        (relevance_scorer_design.py:115-148)."""
+        if similarity_score > 0:
+            base_score = similarity_score
+        elif content_embedding is not None:
+            base_score = max(0, float(np.dot(query_embedding,
+                                             content_embedding)))
+        else:
+            base_score = 0.0
+        boost_factor = 1.0
+        if content_length > 100:
+            boost_factor *= 1.1
+        if content_quality > 0.8:
+            boost_factor *= 1.15
+        return min(1.0, base_score * boost_factor)
+
+    def test_content_boost_factors_all_cells(self):
+        from hcrag_tpu.pipeline.scorer_designs import v0_content_boost
+
+        for length in (0, 100, 101, 5000):
+            for quality in (0.0, 0.8, 0.81, 1.0):
+                expected = 1.0
+                if length > 100:
+                    expected *= 1.1
+                if quality > 0.8:
+                    expected *= 1.15
+                assert v0_content_boost(length, quality) == pytest.approx(
+                    expected
+                ), (length, quality)
+
+    def test_v0_semantic_metric_matches_reference(self):
+        from hcrag_tpu.pipeline.scorer_designs import (
+            V0SemanticSimilarityMetric,
+        )
+
+        q = self._query()
+        emb = np.zeros(4, np.float32)
+        emb[0] = 0.6
+        cases = [
+            # (precomputed score, relations, expected base source)
+            (0.5, {}, 0.5),                             # precomputed wins
+            (0.0, {}, 0.6),                             # fresh dot product
+            (0.95, {"content_length": 200}, 0.95),      # substantial boost
+            (0.95, {"content_length": 200,
+                    "content_quality": 0.9}, 0.95),     # both boosts, cap
+            (0.5, {"content_quality": 0.9}, 0.5),       # quality boost only
+        ]
+        nodes = [self._node(relations=dict(rel), emb=emb, score=s)
+                 for s, rel, _ in cases]
+        got = V0SemanticSimilarityMetric().score_batch(q, nodes)
+        for i, (s, rel, base) in enumerate(cases):
+            expected = self._ref_v0_semantic(
+                s, emb, q.embeddings,
+                rel.get("content_length", 2), rel.get("content_quality", 0.0),
+            )
+            assert got[i] == pytest.approx(expected, abs=1e-6), cases[i]
+        # the both-boosts case must actually hit the 1.0 cap
+        assert got[3] == pytest.approx(1.0)
+
+    def test_single_component_confidence_is_half(self):
+        """v0 reports confidence 0.5 with one component, not 1 - std == 1.0
+        (relevance_scorer_design.py:585-590)."""
+        metrics = [_StubMetric("semantic_similarity", np.array([0.9, 0.2]))]
+        scorer = DynamicWeightScorer(metrics=metrics)
+        rows = scorer.explain(
+            self._query(),
+            [self._node(node_type="product"),
+             self._node(node_type="document")],
+        )
+        assert all(r["confidence"] == pytest.approx(0.5) for r in rows)
+        metrics2 = [
+            _StubMetric("semantic_similarity", np.array([0.9])),
+            _StubMetric("llm_judge", np.array([0.5])),
+        ]
+        rows2 = DynamicWeightScorer(metrics=metrics2).explain(
+            self._query(), [self._node()]
+        )
+        assert rows2[0]["confidence"] == pytest.approx(1.0 - 0.2)
+
+    @staticmethod
+    def _ref_centrality(relations):
+        """Literal transcription of GraphCentralityMetric.calculate
+        (relevance_scorer.py:244-266)."""
+        incoming_count = len(relations.get("incoming", []))
+        outgoing_count = len(relations.get("outgoing", []))
+        total_degree = incoming_count + outgoing_count
+        degree_score = min(total_degree / 50, 1.0)
+        relationship_weights = relations.get("relationship_weights", {})
+        if relationship_weights:
+            weighted = (sum(relationship_weights.values())
+                        / len(relationship_weights))
+            degree_score = (degree_score + weighted) / 2
+        return degree_score
+
+    def test_centrality_relationship_weight_blend(self):
+        from hcrag_tpu.pipeline.scorer_designs import GraphCentralityMetric
+
+        cases = [
+            {"incoming": list(range(10)), "outgoing": list(range(5))},
+            {"incoming": list(range(60)), "outgoing": []},
+            {"incoming": list(range(10)),
+             "relationship_weights": {"a": 0.9, "b": 0.3}},
+            {"incoming": list(range(100)), "outgoing": list(range(100)),
+             "relationship_weights": {"x": 0.5}},
+            {"relationship_weights": {"only": 1.0}},
+            {},
+        ]
+        nodes = [self._node(relations=dict(r)) for r in cases]
+        got = GraphCentralityMetric().score_batch(self._query(), nodes)
+        for i, rel in enumerate(cases):
+            assert got[i] == pytest.approx(self._ref_centrality(rel)), rel
+
+    def test_centrality_legacy_degree_keys_still_work(self):
+        from hcrag_tpu.pipeline.scorer_designs import GraphCentralityMetric
+
+        nodes = [
+            self._node(relations={"degree": 25}),
+            self._node(relations={"neighbors": list(range(10))}),
+        ]
+        got = GraphCentralityMetric().score_batch(self._query(), nodes)
+        assert got[0] == pytest.approx(0.5)
+        assert got[1] == pytest.approx(0.2)
