@@ -29,6 +29,18 @@ _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
+#: Standard Latin ligature expansion.  The reference's extraction stack
+#: (pdfplumber/pdfminer, embedding_generator.py:239-257) yields the expanded
+#: letter pairs where a font's ToUnicode maps a glyph to a U+FBxx ligature
+#: codepoint; verified against the shipped pickle, whose six pdf_document
+#: texts carry 'fi'/'fl'/'ffi' at every ligature site.  Expanding here keeps
+#: byte parity for any consumer of the extractor.
+_LIGATURES = {
+    "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl",
+    "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "st", "ﬆ": "st",
+}
+_LIGATURE_TRANS = str.maketrans(_LIGATURES)
+
 
 def _dict_body(obj: bytes) -> bytes:
     """The top-level << ... >> dictionary of an object body."""
@@ -96,13 +108,15 @@ class _Font:
     def decode(self, raw: bytes) -> str:
         if not self.cmap:
             # No ToUnicode: assume text bytes are latin-1-ish.
-            return raw.decode("latin-1", errors="replace")
+            return raw.decode("latin-1", errors="replace").translate(
+                _LIGATURE_TRANS
+            )
         w = self.code_bytes
         out = []
         for i in range(0, len(raw) - w + 1, w):
             code = int.from_bytes(raw[i : i + w], "big")
             out.append(self.cmap.get(code, ""))
-        return "".join(out)
+        return "".join(out).translate(_LIGATURE_TRANS)
 
 
 def _parse_cmap(data: bytes) -> Tuple[Dict[int, str], int]:

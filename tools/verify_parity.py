@@ -72,6 +72,22 @@ def main():
     )
     total = sum(1 for m in ref["metadata"] if m.get("type") == "database_table")
     ok &= check("CSV row texts byte-identical", same == total, f"({same}/{total})")
+    # json_table + pdf_document rows: the pickle's row ORDER for these types
+    # follows the reference machine's directory listing (not reproducible),
+    # so compare BY ID — ids are deterministic (file/chunk derived) and the
+    # id->text mapping is what retrieval semantics depend on.
+    ref_by_id = {m["id"]: t for t, m in zip(ref["texts"], ref["metadata"])}
+    for typ in ("json_table", "pdf_document"):
+        rows = [(m["id"], t) for t, m in zip(texts, metadata)
+                if m.get("type") == typ]
+        n_same = sum(ref_by_id.get(i) == t for i, t in rows)
+        n_total = sum(1 for m in ref["metadata"] if m.get("type") == typ)
+        ok &= check(f"{typ} texts byte-identical (by id)",
+                    n_same == n_total == len(rows),
+                    f"({n_same}/{n_total})")
+    ok &= check("all 585 ids covered",
+                {m["id"] for m in metadata} == set(ref_by_id),
+                f"({len(metadata)} rows)")
 
     print("== graph schema ==")
     stats = bundle.graph.statistics()
