@@ -69,6 +69,47 @@ def brute_force_topk(emb: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
     return best_i
 
 
+def modeled_collective_overhead(
+    n_shards: int,
+    batch: int,
+    merge_m: int,
+    single_chip_batch_ms: float,
+    link_gbps: float = 45.0,
+    hop_latency_us: float = 1.0,
+):
+    """Explicit ICI latency model for the sharded query step, built from the
+    HLO-VERIFIED collective payloads (benchmarks/sharded_traffic.py pins
+    them byte-for-byte: candidate merge all-gathers s*B*m*(4+4) bytes,
+    distributed rescore all-reduces B*m*4 bytes) times an assumed v5e ICI
+    link bandwidth (45 GB/s per direction per link — public spec; real ICI
+    is NOT measurable in this environment, so the bandwidth is an input,
+    stated in the output).
+
+    Ring cost model: all-gather of per-device block X over s devices moves
+    (s-1)*X per link; all-reduce ~2*(s-1)/s of the payload; plus (s-1) hop
+    latencies each.  Returns a dict with the per-batch overhead and the
+    derived per-chip QPS bound (replacing the old 'per-chip QPS equals the
+    single-chip bench' assertion)."""
+    ag_block = batch * merge_m * (4 + 4)  # f32 vals + s32 idx per device
+    ar_payload = batch * merge_m * 4
+    bw = link_gbps * 1e9
+    ag_s = (n_shards - 1) * ag_block / bw
+    ar_s = 2 * (n_shards - 1) / n_shards * ar_payload / bw
+    hops_s = 2 * (n_shards - 1) * hop_latency_us * 1e-6
+    overhead_ms = (ag_s + ar_s + hops_s) * 1e3
+    step_ms = single_chip_batch_ms + overhead_ms
+    return {
+        "assumed_ici_link_gbps": link_gbps,
+        "allgather_bytes_per_link": (n_shards - 1) * ag_block,
+        "allreduce_bytes": ar_payload,
+        "modeled_collective_overhead_ms_per_batch": round(overhead_ms, 4),
+        "single_chip_batch_ms": round(single_chip_batch_ms, 3),
+        "modeled_step_ms_per_batch": round(step_ms, 3),
+        "modeled_qps_per_chip_bound": round(batch / step_ms * 1e3, 1),
+        "overhead_fraction": round(overhead_ms / step_ms, 5),
+    }
+
+
 def main() -> None:
     n = int(os.environ.get("BENCH10M_N", 10_000_000))
     dim = int(os.environ.get("BENCH10M_DIM", 384))
@@ -217,10 +258,25 @@ def main() -> None:
             "BASELINE config 5 (10M sharded on v5e-8) executed on the "
             "8-device virtual CPU mesh: real sharded engine (row-sharded "
             "banks, shard-local kernels, ICI merge, distributed exact "
-            "rescore). Per-chip QPS comes from the single-chip TPU bench — "
-            "each shard runs the identical kernels on 1/8 of the rows."
+            "rescore). Per-chip throughput = single-chip kernel time on "
+            "rows/8 PLUS the modeled ICI collective term below (payloads "
+            "HLO-verified; bandwidth assumed, not measurable here)."
         ),
     }
+    # Explicit sharded-latency model (round-4 VERDICT item 10): single-chip
+    # kernel time for a 1024-query batch on this chip's row share, scaled
+    # from the measured 1M-row bench, plus the HLO-verified collective
+    # payloads over an assumed ICI bandwidth.
+    serve_b, merge_m = 1024, 32
+    if RESULTS.exists():
+        base = json.loads(RESULTS.read_text())
+        base_qps = base.get("synthetic_1000000", {}).get("qps")
+        if base_qps:
+            per_chip_rows_m = (n / n_shards) / 1e6
+            single_ms = serve_b / base_qps * 1e3 * per_chip_rows_m
+            entry["modeled_sharded_latency"] = modeled_collective_overhead(
+                n_shards, serve_b, merge_m, single_ms
+            )
     log(json.dumps(entry, indent=2))
 
     if RESULTS.exists() and n >= 1_000_000:  # don't record smoke shapes
