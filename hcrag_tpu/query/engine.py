@@ -990,11 +990,21 @@ class QueryEngine:
         top_k: int = cfg.DEFAULT_TOP_K,
         similarity_threshold: float = cfg.DEFAULT_SIMILARITY_THRESHOLD,
         parser=None,
+        with_confidence: Optional[bool] = None,
     ) -> Dict:
         """End-to-end single query (main.py:790-829): parse -> embed ->
         retrieve -> summarize.  `parser` optionally supplies the LLM query
         parser; without one the raw query is the search text (the reference's
-        fallback, main.py:786-788)."""
+        fallback, main.py:786-788).
+
+        `with_confidence` adds an `encoder_confidence` entry — the
+        calibrated probability that the (distilled, corpus-supervised)
+        encoder serves this query with golden-space fidelity
+        (models/confidence.py; the reference's true checkpoint at
+        embedding_generator.py:18-21 is unavailable in this environment, so
+        off-domain queries get an honest signal instead of silent
+        best-effort).  Default: on for trainable-encoder engines with banks
+        small enough for the host-side feature pass (<=100k rows)."""
         from hcrag_tpu.utils.timing import GLOBAL_TIMER as _timer
 
         parsed = {"search_text": query}
@@ -1020,7 +1030,7 @@ class QueryEngine:
             if results
             else 0.0
         )
-        return {
+        out = {
             "parsed_query": parsed,
             "search_text": search_text,
             "results": results,
@@ -1029,6 +1039,26 @@ class QueryEngine:
             ),
             "query_embedding": query_embedding,
         }
+        want_conf = with_confidence
+        if want_conf is None:
+            # auto: trainable encoder + bank small enough for the host pass
+            want_conf = (
+                hasattr(self.embedder, "load_params")
+                and self.index.n <= 100_000
+            )
+        if want_conf:
+            with _timer.span("process_query/confidence"):
+                from hcrag_tpu.models.confidence import encoder_confidence
+
+                bank = np.asarray(self.index.emb, np.float32)
+                bank_norm = bank / np.maximum(
+                    np.linalg.norm(bank, axis=1, keepdims=True), 1e-12
+                )
+                out["encoder_confidence"] = encoder_confidence(
+                    self.embedder, bank_norm, search_text,
+                    query_emb=query_embedding[None, :],
+                )
+        return out
 
     def search_by_category(
         self,

@@ -346,7 +346,29 @@ def main(argv=None):
                 )
             }
             json.dump(res, open(res_path, "w"), indent=2)
-        print("saved", rep_path)
+        # Persist the holdout-trained weights: the confidence calibration
+        # (tools/encoder_confidence.py) needs an encoder that has NOT seen
+        # the held-out pairs, so its features/labels are honest.
+        emb.save_params(args.out + "_holdout.npz")
+        with open(args.out + "_holdout_meta.json", "w") as f:
+            json.dump(
+                {
+                    "config": {
+                        "vocab_size": cfg.vocab_size,
+                        "hidden_size": cfg.hidden_size,
+                        "num_layers": cfg.num_layers,
+                        "num_heads": cfg.num_heads,
+                        "intermediate_size": cfg.intermediate_size,
+                        "max_position": cfg.max_position,
+                    },
+                    "max_len": args.max_len,
+                    "holdout_idx": [int(i) for i in holdout_idx],
+                    "holdout_seed": args.holdout_seed,
+                    "train": report,
+                },
+                f, indent=1,
+            )
+        print("saved", rep_path, "and", args.out + "_holdout.npz")
         return
 
     emb.save_params(args.out + ".npz")
