@@ -89,9 +89,10 @@ def run_direct():
         int8_rescore=rescore,
         exact_rescore=rescore if dtype == "bfloat16" else 0,
     )
+    resolved = engine.resolved_kernel_config(batch, top_k)
     log(
-        f"engine init (device transfer) in {time.time() - t0:.1f}s "
-        f"(pallas={use_pallas})"
+        f"engine init (device transfer) in {time.time() - t0:.1f}s; "
+        f"resolved kernel: {json.dumps(resolved)}"
     )
 
     rng = np.random.default_rng(7)
@@ -99,10 +100,11 @@ def run_direct():
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
 
     # --- correctness gate: recall@10 vs f32 NumPy brute force -------------
-    # 64 gate queries (not 8): a selection bug touching ~1% of queries must
-    # fail the gate before it ships a headline.  The brute force runs in
-    # row chunks to bound the [n_check, N] score buffer.
-    n_check = min(64, batch)
+    # 256 gate queries (round-4 VERDICT #9; was 64): a selection bug
+    # touching ~0.4% of queries must fail the gate before it ships a
+    # headline.  The brute force runs in row chunks to bound the
+    # [n_check, N] score buffer (256 x 250k f32 = 256 MB per chunk).
+    n_check = min(int(os.environ.get("BENCH_GATE_QUERIES", 256)), batch)
     ref_top = np.zeros((n_check, top_k), dtype=np.int64)
     chunk = 250_000
     best_v = np.full((n_check, top_k), -np.inf, dtype=np.float32)
@@ -263,6 +265,7 @@ def run_direct():
             "int8_mode": int8_mode,
             "recall_at_10": recall,
             "recall_gate_queries": n_check,
+            "resolved_kernel": resolved,
         },
         "bank_bytes_per_step": bank_bytes_per_step,
         "effective_hbm_gib_s": round(eff_gbps, 1),

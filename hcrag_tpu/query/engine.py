@@ -547,6 +547,78 @@ class QueryEngine:
         """Oversample count for the exact-rescore refinement (0 = off)."""
         return self.int8_rescore if self.quantize_int8 else self.exact_rescore
 
+    def resolved_kernel_config(self, batch: int, top_k: int = 10) -> Dict:
+        """The ACTUAL kernel strategy a `query_batch` of this shape runs —
+        for bench headers and results attribution (round-4 VERDICT #9: a
+        number whose kernel path isn't recorded can't be trusted later).
+        Mirrors the `_step`/`_local_select` decision rules; pinned against
+        them by tests/unit/test_topk_lowerings.py."""
+        m = self._rescore_m()
+        merge_k = m if m > top_k else 0
+        out: Dict = {
+            "quantize_int8": self.quantize_int8,
+            "int8_only": self.int8_only,
+            "int8_residual": self.int8_residual,
+            "rescore_oversample": m,
+            "merge_k": merge_k,
+        }
+        if self.quantize_int8 and self._int8_pallas:
+            sub_b = min(batch, 512)
+            d = self.index.dim
+            tile = min(self.pallas_tile_n, 2048)
+            while tile > 512 and (
+                8 * sub_b * tile + sub_b * d + 2 * tile * d + 16 * sub_b * 128
+            ) > (10 << 20):
+                tile //= 2
+            out.update(
+                kernel="pallas_int8", packed_select=True,
+                two_level=self.int8_rescore > 0, tile_n=tile, sub_batch=sub_b,
+                select_bank="int8",
+                rescore_bank=(
+                    "int8_residual" if self.int8_residual
+                    else "" if self.int8_only else "bf16"
+                ),
+            )
+        elif self.use_pallas:
+            packed = self.exact_rescore > 0
+            sub_b = min(batch, 512 if packed else 1024)
+            d = self.index.dim
+            ebytes = np.dtype(np.asarray(self.index.emb).dtype).itemsize
+            tile = self.pallas_tile_n
+            if packed:
+                tile = min(tile, 2048)
+            budget = (14 << 20) if packed else (11 << 20)
+
+            def footprint(t):
+                return (
+                    4 * sub_b * d + 4 * sub_b * t
+                    + (4 * sub_b * t if packed else 0)
+                    + 2 * t * d * ebytes + 16 * sub_b * 128
+                )
+
+            while tile > 512 and footprint(tile) > budget:
+                tile //= 2
+            out.update(
+                kernel="pallas_float", packed_select=packed,
+                two_level=packed, tile_n=tile, sub_batch=sub_b,
+                select_bank=str(np.asarray(self.index.emb).dtype),
+                rescore_bank="f32" if self.exact_rescore else "",
+            )
+        else:
+            out.update(
+                kernel=(
+                    "xla_streaming_int8" if self.quantize_int8
+                    else "xla_streaming"
+                ),
+                packed_select=False, two_level=False,
+                select_bank=(
+                    "int8" if self.quantize_int8
+                    else str(np.asarray(self.index.emb).dtype)
+                ),
+                rescore_bank="f32" if m else "",
+            )
+        return out
+
     def _gather_graph(self, table, idx):
         """Gather rows of a graph-side table (neighbor ELL / per-node
         features) at batched indices.  The sharded-graph engine overrides
