@@ -58,7 +58,12 @@ def _topk_tile_kernel(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    scores = jnp.where(mask_ref[0, :][None, :] != 0, scores, NEG_INF)
+    # Row-masking as a broadcast ADD instead of compare+select: one VPU pass
+    # over [B, TILE] against two, and the [1, TILE] offset row is a
+    # negligible row op.  NEG_INF + score (|score| <= 1) stays ~NEG_INF, so
+    # ordering and the NEG_INF filler contract are unchanged.
+    offs_row = jnp.where(mask_ref[0, :] != 0, 0.0, NEG_INF)[None, :]
+    scores = scores + offs_row
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     base = tile * tile_n
@@ -149,7 +154,9 @@ def _packed_two_level_select(
         val = pltpu.bitcast(
             (best & jnp.int32(~0x7FF))[:, None], jnp.float32
         )[:, 0] - 2.0
-        valid = best != 0
+        # > 0, not != 0: masked-out columns pack to NEGATIVE int32 (their
+        # shifted score is negative — see the encode), empty slots to 0.
+        valid = best > 0
         sel_slot = slot_ids == j
         vals_acc = jnp.where(
             sel_slot, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
@@ -224,16 +231,29 @@ def _topk_tile_kernel_packed(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    # int32 packing: packed values are positive (score+2 in [1, 3.2] has a
-    # zero sign bit), and Mosaic reduces int32 natively (uint32 reductions
-    # are unimplemented).
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-
-    shifted = scores + 2.0  # positive -> monotone f32 bit pattern
+    # int32 packing: VALID packed values are positive (score+2 in [1, 3.2]
+    # has a zero sign bit), and Mosaic reduces int32 natively (uint32
+    # reductions are unimplemented).
+    #
+    # The encode is the round-4 hot spot (it runs over every [B, TILE]
+    # element), so it is exactly three full-width VPU passes:
+    #   1. `scores + offs_row`  — the +2 positivity shift AND the validity
+    #      mask in one broadcast add: invalid columns get -3, landing in
+    #      [-4, -2], whose f32 bit pattern bitcasts to a NEGATIVE int32 —
+    #      below every valid packed value under signed max, no
+    #      compare+select pass needed.  (Validity checks are `best > 0`:
+    #      invalid columns are negative, empty two-level slots are 0.)
+    #   2. the AND clearing the 11 lane bits (bitcast is a free type pun);
+    #   3. the OR of the [1, TILE] lane row — broadcast of a row iota, so
+    #      no [B, TILE] iota is ever materialized.
+    offs_row = jnp.where(mask_ref[0, :] != 0, 2.0, -3.0)[None, :]
+    lane_row = (
+        jnp.int32(2047)
+        - jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    )
+    shifted = scores + offs_row
     bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
-    packed = bits | (jnp.int32(2047) - col_ids)
-    # invalid rows -> 0 (smaller than any valid packed value)
-    packed = jnp.where(mask_ref[0, :][None, :] != 0, packed, jnp.int32(0))
+    packed = bits | lane_row
 
     base = tile * tile_n
     if two_level:
@@ -251,7 +271,7 @@ def _topk_tile_kernel_packed(
         val = pltpu.bitcast(
             (best & jnp.int32(~0x7FF))[:, None], jnp.float32
         )[:, 0] - 2.0
-        valid = best != 0
+        valid = best > 0  # masked columns are negative, empty slots 0
         sel = slot_ids == j
         vals_acc = jnp.where(
             sel, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
@@ -304,16 +324,19 @@ def _topk_tile_kernel_int8(
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
 
     if packed:
-        # Packed selection (see _topk_tile_kernel_packed): the int8 scores
-        # already carry >= quantization-level noise, so the 2^-11 packed
-        # rounding is free here and selection halves to one reduce per pick.
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-        shifted = scores + 2.0
-        bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
-        packed_scores = bits | (jnp.int32(2047) - col_i)
-        packed_scores = jnp.where(
-            mask_ref[0, :][None, :] != 0, packed_scores, jnp.int32(0)
+        # Packed selection (see _topk_tile_kernel_packed, incl. the 3-pass
+        # encode: mask folded into the positivity shift, lane bits OR'd from
+        # a [1, TILE] row): the int8 scores already carry >=
+        # quantization-level noise, so the 2^-11 packed rounding is free
+        # here and selection halves to one reduce per pick.
+        offs_row = jnp.where(mask_ref[0, :] != 0, 2.0, -3.0)[None, :]
+        lane_row = (
+            jnp.int32(2047)
+            - jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
         )
+        shifted = scores + offs_row
+        bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
+        packed_scores = bits | lane_row
         if two_level:
             vals_ref[:], idxs_ref[:] = _packed_two_level_select(
                 packed_scores, base, k=k, k_pad=k_pad
@@ -325,7 +348,7 @@ def _topk_tile_kernel_int8(
             val = pltpu.bitcast(
                 (best & jnp.int32(~0x7FF))[:, None], jnp.float32
             )[:, 0] - 2.0
-            valid = best != 0
+            valid = best > 0  # masked columns negative, empty slots 0
             sel = slot_ids == j
             vals_acc = jnp.where(
                 sel, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
@@ -340,7 +363,8 @@ def _topk_tile_kernel_int8(
         idxs_ref[:] = idxs_acc
         return
 
-    scores = jnp.where(mask_ref[0, :][None, :] != 0, scores, NEG_INF)
+    # Mask as a broadcast add (see _topk_tile_kernel): one pass, not two.
+    scores = scores + jnp.where(mask_ref[0, :] != 0, 0.0, NEG_INF)[None, :]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     for j in range(k):
         best = jnp.max(scores, axis=1)
@@ -525,6 +549,11 @@ def pallas_cosine_top_k(
     b_pad = _round_up(b, 8)
     if b_pad != b:
         query_emb = jnp.pad(query_emb, ((0, b_pad - b), (0, 0)))
+    if index_emb.dtype == jnp.bfloat16:
+        # Cast the query block ONCE outside the kernel: the in-kernel
+        # `.astype(e_ref.dtype)` becomes a no-op, instead of a per-grid-step
+        # conversion, and the VMEM q block halves.
+        query_emb = query_emb.astype(jnp.bfloat16)
 
     assert not (packed_select and tile_n > 2048), "packed lane field is 11 bits"
     if packed_select:
