@@ -143,10 +143,15 @@ def make_encode_level1(b, d, tile_n, num_tiles):
             out_ref[:] = jnp.zeros_like(out_ref)
 
         scores = _matmul(q_ref, e_ref)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+        # round-4 3-pass encode (matches _topk_tile_kernel_packed): shift
+        # add + lane-clear AND + row-broadcast OR; no [B, TILE] iota.
+        lane_row = (
+            jnp.int32(2047)
+            - jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+        )
         shifted = scores + 2.0
         bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
-        packed = bits | (jnp.int32(2047) - col_ids)
+        packed = bits | lane_row
         m1 = packed[:, :lanes]
         m2 = jnp.zeros_like(m1)
         for g in range(1, groups):

@@ -51,13 +51,33 @@ def main():
     for mode in ("retrieval", "full"):
         ex = BatchedExecutor(engine, batch_size=256, top_k=10, mode=mode)
         ex.submit(queries[0]).result(timeout=600)  # warm/compile
+        # Per-request latency: stamp resolve time via done-callbacks
+        # (result() serializes in submit order and would skew the tail).
+        resolve_t = np.zeros(len(queries))
+
+        def _stamp(i):
+            def cb(_f, i=i):
+                resolve_t[i] = time.monotonic()
+            return cb
+
+        submit_t = np.zeros(len(queries))
         t0 = time.time()
-        futs = [ex.submit(q) for q in queries]
+        futs = []
+        for i, q in enumerate(queries):
+            submit_t[i] = time.monotonic()
+            f = ex.submit(q)
+            f.add_done_callback(_stamp(i))
+            futs.append(f)
         _ = [f.result(timeout=600) for f in futs]
         rps = len(queries) / (time.time() - t0)
         ex.shutdown()
-        log(f"[serving/{mode}] {rps:.0f} single-query req/s")
+        lat_ms = (resolve_t - submit_t) * 1e3
+        p50, p99 = np.percentile(lat_ms, [50, 99])
+        log(f"[serving/{mode}] {rps:.0f} single-query req/s, "
+            f"p50 {p50:.1f} ms, p99 {p99:.1f} ms")
         serving[f"{mode}_requests_per_s"] = round(rps, 1)
+        serving[f"{mode}_latency_ms_p50"] = round(float(p50), 2)
+        serving[f"{mode}_latency_ms_p99"] = round(float(p99), 2)
     serving["note"] = (
         "retrieval mode returns (scores, indices) from a retrieval-only "
         "device step; full mode returns ServedResult (relevance, combined, "

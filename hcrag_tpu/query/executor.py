@@ -90,15 +90,35 @@ class BatchedExecutor:
         return fut
 
     def _collect(self) -> List[Tuple[np.ndarray, Future]]:
+        """Adaptive micro-batching with a TOTAL latency deadline.
+
+        Round-4 fix: the old loop gave EVERY empty slot its own
+        `max_wait_ms` timeout, so a trickling queue could hold a batch open
+        for batch_size * max_wait_ms (512 ms at 256 x 2 ms) — a p99 cliff.
+        Now: one bulk drain of everything already queued (get_nowait — no
+        timeout syscalls on the hot path), then a single micro-batch window
+        of `max_wait_ms` TOTAL from the first request, after which the batch
+        ships however full it is (the device step pads to batch_size, so
+        partial batches cost latency, never a recompile)."""
+        import time as _time
+
         items: List[Tuple[np.ndarray, Future]] = []
         try:
             items.append(self._queue.get(timeout=0.1))
         except queue.Empty:
             return items
-        deadline = self.max_wait_s
         while len(items) < self.batch_size:
             try:
-                items.append(self._queue.get(timeout=deadline))
+                items.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        deadline = _time.monotonic() + self.max_wait_s
+        while len(items) < self.batch_size:
+            remaining = deadline - _time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
             except queue.Empty:
                 break
         return items
