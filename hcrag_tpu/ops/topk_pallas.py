@@ -468,22 +468,121 @@ def pallas_cosine_top_k_int8(
         interpret=interpret,
     )(qi, qs.reshape(b_pad, 1), e_int8, scale_2d, mask_2d)
 
-    return _merge_tile_candidates(vals, idxs, b, num_tiles, k_pad, k, merge_k)
+    return _merge_tile_candidates(
+        vals, idxs, b, num_tiles, k_pad, k, merge_k,
+        packed_merge=packed_select, interpret=interpret,
+    )
 
 
-def _merge_tile_candidates(vals, idxs, b, num_tiles, k_pad, k, merge_k):
+def _merge_vals_kernel(v_ref, vals_ref, idxs_ref, *, k: int, k_pad: int):
+    """Per-2048-column tile of the CANDIDATE matrix: pack value+position and
+    run the two-level select.  Fillers arrive as NEG_INF values, whose
+    shifted bit pattern is negative — they lose every signed max and decode
+    back to (NEG_INF, -1) via the `best > 0` validity check."""
+    tile = pl.program_id(0)
+    tile_n = v_ref.shape[1]
+    lane_row = (
+        jnp.int32(2047)
+        - jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    )
+    shifted = v_ref[:] + 2.0
+    bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
+    packed = bits | lane_row
+    vals_ref[:], idxs_ref[:] = _packed_two_level_select(
+        packed, tile * tile_n, k=k, k_pad=k_pad
+    )
+
+
+def _packed_candidate_merge(v, i, out_k, interpret):
+    """Pallas replacement for the `lax.top_k` candidate merge on the PACKED
+    path (round-4: the XLA merge sort measured 2.5 ms of the 10 ms fused
+    step at 1M/B=512 — benchmarks/merge_micro.py; this kernel does the same
+    selection in VPU passes).
+
+    Selects candidate POSITIONS by packed two-level reduction over
+    2048-wide column tiles of the value matrix, then one tiny `lax.top_k`
+    over the <= num_tiles*out_k survivors, then gathers the true global
+    indices.  Carries the packed path's 2^-11 value rounding (ties may
+    resolve differently than a bit-exact sort), which is why only
+    `packed_select` callers — whose selection already quantizes scores and
+    whose engine paths follow with an exact rescore — route here."""
+    b, c = v.shape
+    tile_n = 2048
+    c_pad = _round_up(c, tile_n)
+    if c_pad != c:
+        v = jnp.pad(v, ((0, 0), (0, c_pad - c)), constant_values=NEG_INF)
+    num_tiles = c_pad // tile_n
+    k_pad = 128
+    b_pad = _round_up(b, 8)
+    if b_pad != b:
+        v = jnp.pad(v, ((0, b_pad - b), (0, 0)), constant_values=NEG_INF)
+    kernel = functools.partial(_merge_vals_kernel, k=out_k, k_pad=k_pad)
+    mv, mp = pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((b_pad, tile_n), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_pad, k_pad), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_pad, k_pad), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, num_tiles * k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, num_tiles * k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(v)
+    sv = mv[:b].reshape(b, num_tiles, k_pad)[:, :, :out_k].reshape(b, -1)
+    sp = mp[:b].reshape(b, num_tiles, k_pad)[:, :, :out_k].reshape(b, -1)
+    out_v, opos = jax.lax.top_k(sv, min(out_k, sv.shape[1]))
+    pos = jnp.take_along_axis(sp, opos, axis=1)  # position in padded v, -1 pad
+    out_i = jnp.where(
+        pos >= 0, jnp.take_along_axis(i, jnp.maximum(pos, 0), axis=1), -1
+    )
+    return out_v, out_i
+
+
+def _merge_tile_candidates(
+    vals, idxs, b, num_tiles, k_pad, k, merge_k,
+    *, packed_merge: bool = False, interpret: bool = False,
+):
     """Cross-tile merge of the per-tile candidate blocks.
 
     Each tile's [B, k_pad=128] block holds its top-k in slots 0..k-1 and
     (NEG_INF, -1) fillers beyond — so the merge only needs the first k slots
     of each block.  Slicing before `lax.top_k` shrinks the XLA merge from
     [B, num_tiles*128] to [B, num_tiles*k] (12.8x less sort work at k=10,
-    a measurable share of the fused step at 1M rows / 489 tiles)."""
-    v = vals[:b].reshape(b, num_tiles, k_pad)[:, :, :k].reshape(b, -1)
-    i = idxs[:b].reshape(b, num_tiles, k_pad)[:, :, :k].reshape(b, -1)
-    out_k = min(max(k, merge_k), v.shape[1])
-    out_v, pos = jax.lax.top_k(v, out_k)
-    out_i = jnp.take_along_axis(i, pos, axis=1)
+    a measurable share of the fused step at 1M rows / 489 tiles).
+
+    `packed_merge` (packed-select callers only): route large candidate
+    pools through `_packed_candidate_merge` instead of the XLA sort.  Small
+    pools and the bit-exact kernels keep `lax.top_k`."""
+    v = vals[:b].reshape(b, num_tiles, k_pad)[:, :, :k]
+    i = idxs[:b].reshape(b, num_tiles, k_pad)[:, :, :k]
+    out_k = min(max(k, merge_k), num_tiles * k)
+    if (
+        packed_merge
+        and out_k <= 128
+        and b <= 512           # VMEM: [512, 2048] f32 + packed copy
+        and num_tiles * k >= 2 * 2048  # below this the XLA sort is cheap
+    ):
+        # Lay candidates out SLOT-MAJOR ([b, k, num_tiles]) before the
+        # packed merge: tile-major order strides lanes by k, so whenever
+        # gcd(k, 128) is large the per-tile MAXIMA (the population actually
+        # competing for the global top) alias onto 128/gcd lanes and blow
+        # the per-lane depth bound.  Slot-major puts same-slot candidates
+        # in consecutive columns — spread over all 128 lanes.
+        vt = v.transpose(0, 2, 1).reshape(b, -1)
+        it = i.transpose(0, 2, 1).reshape(b, -1)
+        return _packed_candidate_merge(vt, it, out_k, interpret)
+    out_v, pos = jax.lax.top_k(v.reshape(b, -1), out_k)
+    out_i = jnp.take_along_axis(i.reshape(b, -1), pos, axis=1)
     return out_v, out_i
 
 
@@ -599,7 +698,11 @@ def pallas_cosine_top_k(
         interpret=interpret,
     )(query_emb, index_emb, mask_2d)
 
-    # Final merge over the per-tile candidates (XLA; slots >= k are fillers
-    # and are sliced away before the sort — see _merge_tile_candidates).
-    return _merge_tile_candidates(vals, idxs, b, num_tiles, k_pad, k, merge_k)
+    # Final merge over the per-tile candidates (slots >= k are fillers and
+    # are sliced away first; packed callers route large pools through the
+    # Pallas packed merge — see _merge_tile_candidates).
+    return _merge_tile_candidates(
+        vals, idxs, b, num_tiles, k_pad, k, merge_k,
+        packed_merge=packed_select, interpret=interpret,
+    )
 
