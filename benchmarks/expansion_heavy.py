@@ -60,7 +60,10 @@ def main():
     enable_compilation_cache()
     log(f"backend={jax.default_backend()}")
 
-    N, D, B, K, DEPTH = 1_000_000, 384, 64, 100, 3
+    N, D, K, DEPTH = 1_000_000, 384, 100, 3
+    # Round-4 (VERDICT #6): B=64 was dispatch/read-bound — the batch is the
+    # lever.  Default raised to 256; EXP_B overrides for the floor proof.
+    B = int(os.environ.get("EXP_B", 256))
     deg = 8
     with timed("synthetic setup (1M, degree 8)"):
         index, graph = _synthetic_setup(N, D, graph_degree=deg)
@@ -124,14 +127,18 @@ def main():
     print(json.dumps(results))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     data = json.load(open(out)) if os.path.exists(out) else {}
-    prev = data.get("synthetic_1M_top100_depth3", {}).get("qps")
-    data["synthetic_1M_top100_depth3"] = dict(
+    key = (
+        "synthetic_1M_top100_depth3" if B == 64
+        else f"synthetic_1M_top100_depth3_b{B}"
+    )
+    prev = data.get(key, {}).get("qps")
+    data[key] = dict(
         qps=results["full_step_qps"], batch=B, prev_round_qps=prev,
         breakdown=results,
         note=(
             "sort-based discovery-order dedup + no-op frontier dedup "
             "removed (ops/expand.py); breakdown isolates retrieval k=100, "
-            "depth-3 expansion, and the [B, 58400] dedup"
+            f"depth-3 expansion, and the [B, {B * 584}] dedup"
         ),
     )
     json.dump(data, open(out, "w"), indent=2)

@@ -507,7 +507,12 @@ def _packed_candidate_merge(v, i, out_k, interpret):
     `packed_select` callers — whose selection already quantizes scores and
     whose engine paths follow with an exact rescore — route here."""
     b, c = v.shape
-    tile_n = 2048
+    # 1024-wide merge tiles: at B=512 a 2048 tile OOMs scoped VMEM (double-
+    # buffered f32 input tile 8 MB + packed int32 copy 4 MB + candidate
+    # blocks pushed 16.68 MB > the 16 MB limit — Mosaic compile error,
+    # round 4).  1024 halves the input-tile and packed-copy footprint; the
+    # selection work is the same total columns.
+    tile_n = 1024
     c_pad = _round_up(c, tile_n)
     if c_pad != c:
         v = jnp.pad(v, ((0, 0), (0, c_pad - c)), constant_values=NEG_INF)
