@@ -1,0 +1,199 @@
+"""Round-4 consolidated TPU measurements (one process, one index build).
+
+1. dispatch-floor fit (t(N) = a + d*N over the production kernel)
+2. 1M bf16 full fused step at B in {1024, 2048, 4096} — dispatch
+   amortization sweep (the round-4 finding: ~5-6 ms/call is relay
+   dispatch, so bigger submitted batches raise measured QPS)
+3. 1M int8 packed two-level + rescore at B 1024/2048
+
+All rows recall-gated (256 queries, exact chunked brute force) and stamped
+with the engine's resolved kernel config.
+
+Usage (TPU): python benchmarks/round4_sweep.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+
+
+def brute_force_top10(emb_f32, queries, k=10):
+    best_v = np.full((queries.shape[0], k), -np.inf, np.float32)
+    best_i = np.zeros((queries.shape[0], k), np.int64)
+    for lo in range(0, emb_f32.shape[0], 250_000):
+        s = queries @ emb_f32[lo:lo + 250_000].T
+        ci = np.argsort(-s, axis=1, kind="stable")[:, :k] + lo
+        cv = np.take_along_axis(s, ci - lo, axis=1)
+        allv = np.concatenate([best_v, cv], axis=1)
+        alli = np.concatenate([best_i, ci], axis=1)
+        order = np.lexsort((alli, -allv), axis=1)[:, :k]
+        best_v = np.take_along_axis(allv, order, axis=1)
+        best_i = np.take_along_axis(alli, order, axis=1)
+    return best_i
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from __graft_entry__ import _synthetic_setup
+    from hcrag_tpu.query.engine import QueryEngine
+    from hcrag_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    log(f"backend={jax.default_backend()}")
+
+    N, D, K = 1_000_000, 384, 10
+    t0 = time.time()
+    index, graph = _synthetic_setup(N, D, graph_degree=4)
+    emb_f32 = np.asarray(index.emb, dtype=np.float32)
+    log(f"index built {time.time()-t0:.1f}s")
+    rng = np.random.default_rng(7)
+    qmax = rng.standard_normal((4096, D)).astype(np.float32)
+    qmax /= np.linalg.norm(qmax, axis=1, keepdims=True)
+    ref_top = brute_force_top10(emb_f32, qmax[:256], K)
+    log("brute-force gate reference ready")
+
+    data = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}
+
+    def measure(engine, B, depth=1, steps=12, gate=0.998):
+        dq = jax.device_put(jnp.asarray(qmax[:B]))
+        res = engine.query_batch(qmax[:256], top_k=K, expansion_depth=depth)
+        hits = sum(
+            len(set(res.top_indices[i]) & set(ref_top[i]))
+            for i in range(256)
+        )
+        recall = hits / (256 * K)
+        warm = engine.query_batch_device(dq, top_k=K, expansion_depth=depth)
+        jax.block_until_ready(warm); _ = np.asarray(warm[0])
+        t0 = time.time()
+        outs = [
+            engine.query_batch_device(dq, top_k=K, expansion_depth=depth)
+            for _ in range(steps)
+        ]
+        jax.block_until_ready(outs); _ = np.asarray(outs[-1][0])
+        dt = (time.time() - t0) / steps
+        qps = B / dt
+        ok = recall >= gate
+        log(f"B={B}: {1e3*dt:.1f} ms/batch -> {qps:.0f} QPS, "
+            f"recall {recall:.4f} {'OK' if ok else 'FAIL'}")
+        return dict(qps=round(qps, 1), ms_per_batch=round(1e3 * dt, 2),
+                    recall_at_10=round(recall, 4), batch=B,
+                    recall_gate_queries=256,
+                    resolved_kernel=engine.resolved_kernel_config(B, K))
+
+    # ---- bf16 exact-rescore engine, batch sweep --------------------------
+    import copy
+    idx_bf16 = copy.copy(index)
+    idx_bf16.emb = emb_f32.astype(ml_dtypes.bfloat16)
+    eng = QueryEngine(idx_bf16, graph, ell_max_degree=8, exact_rescore=32)
+    np.asarray(jnp.sum(eng.d_emb[:, -1].astype(jnp.float32)))  # residency
+    sweep = {}
+    for B in (1024, 2048, 4096):
+        sweep[f"b{B}"] = measure(eng, B)
+    data["synthetic_1M_batch_sweep_r4"] = dict(
+        sweep,
+        note=(
+            "bf16 packed two-level + f32 exact rescore (merge 32), "
+            "depth-1 expansion; larger submitted batches amortize the "
+            "~5-6 ms relay dispatch cost (dispatch_floor_fit)"
+        ),
+    )
+    best_b = max(sweep, key=lambda k: sweep[k]["qps"])
+    data["synthetic_1000000"] = dict(
+        recall_at_10=sweep["b1024"]["recall_at_10"],
+        qps=sweep["b1024"]["qps"],
+        resolved_kernel=sweep["b1024"]["resolved_kernel"],
+        note="B=1024 headline row (see synthetic_1M_batch_sweep_r4)",
+    )
+    json.dump(data, open(RESULTS, "w"), indent=2)
+    log(f"bf16 sweep done (best {best_b}); results written")
+
+    # ---- dispatch floor fit over the same bf16 engine's kernel ----------
+    import functools
+
+    import hcrag_tpu.ops.topk_pallas as tp
+
+    fn = functools.partial(
+        tp.pallas_cosine_top_k, top_k=K, tile_n=2048,
+        packed_select=True, merge_k=32, two_level=True,
+    )
+    d_q512 = jax.device_put(jnp.asarray(qmax[:512]))
+    pts = []
+    for n in (131072, 262144, 524288, 1001472):
+        d_e = jax.device_put(
+            jnp.asarray(emb_f32[:n].astype(ml_dtypes.bfloat16)))
+        d_m = jax.device_put(jnp.ones(n, bool))
+        np.asarray(jnp.sum(d_e[:, -1].astype(jnp.float32)))
+        v, i = fn(d_q512, d_e, d_m)
+        jax.block_until_ready((v, i)); np.asarray(v)
+        t0 = time.time()
+        outs = [fn(d_q512, d_e, d_m) for _ in range(10)]
+        jax.block_until_ready(outs); _ = np.asarray(outs[-1][0])
+        dt = (time.time() - t0) / 10
+        log(f"floor-fit N={n}: {1e3*dt:.2f} ms/call")
+        pts.append((n, dt * 1e3))
+        del d_e, d_m
+    ns = np.array([p[0] for p in pts]); ts = np.array([p[1] for p in pts])
+    slope, a = np.polyfit(ns, ts, 1)
+    fit = dict(
+        per_call_ms={str(int(n)): round(float(t), 3) for n, t in pts},
+        fit_dispatch_overhead_ms=round(float(a), 3),
+        fit_device_ms_per_1M_rows=round(float(slope * 1e6), 3),
+        note=(
+            "t(N)=a+d*N over the production packed kernel (B=512, "
+            "merge 32): 'a' is relay/host dispatch cost, slope is true "
+            "device work"
+        ),
+    )
+    data = json.load(open(RESULTS))
+    data["dispatch_floor_fit"] = fit
+    json.dump(data, open(RESULTS, "w"), indent=2)
+    log(f"dispatch floor fit: a={fit['fit_dispatch_overhead_ms']} ms, "
+        f"device/1M={fit['fit_device_ms_per_1M_rows']} ms")
+
+    # ---- int8 packed two-level + rescore --------------------------------
+    del eng
+    idx_i8 = copy.copy(index)
+    idx_i8.emb = emb_f32.astype(ml_dtypes.bfloat16)
+    eng8 = QueryEngine(idx_i8, graph, ell_max_degree=8,
+                       quantize_int8=True, int8_rescore=32)
+    np.asarray(jnp.sum(eng8.d_emb_int8[:, -1].astype(jnp.float32)))
+    rows8 = {}
+    for B in (1024, 2048):
+        rows8[f"b{B}"] = measure(eng8, B, gate=0.95)
+    data = json.load(open(RESULTS))
+    data["synthetic_1M_int8_rescore"] = dict(
+        rows8,
+        note=(
+            "int8 packed two-level selection + bf16-row f32 rescore "
+            "(merge 32); round-4 re-measure with the 3-pass encode + "
+            "packed merge"
+        ),
+    )
+    json.dump(data, open(RESULTS, "w"), indent=2)
+    print(json.dumps({
+        "bf16": {k: v["qps"] for k, v in sweep.items()},
+        "int8": {k: v["qps"] for k, v in rows8.items()},
+        "dispatch_overhead_ms": fit["fit_dispatch_overhead_ms"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
