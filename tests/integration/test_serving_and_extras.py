@@ -362,3 +362,45 @@ class TestNativeUnicodeGuards:
         want_ids, want_mask = tok._encode_batch_py(texts, 16)
         np.testing.assert_array_equal(got_ids, want_ids)
         np.testing.assert_array_equal(got_mask, want_mask)
+
+
+class TestDispatcherDeadline:
+    """Round-4 fix: _collect must hold a batch open at most ~max_wait_ms
+    TOTAL from the first request, not max_wait_ms per empty slot (which
+    made a trickling queue wait batch_size*max_wait before shipping)."""
+
+    def test_partial_batch_ships_within_total_deadline(self, engine):
+        import time
+
+        from hcrag_tpu.query.executor import BatchedExecutor
+
+        # Big batch + measurable wait: old behavior would hold the batch up
+        # to 64 * 50 ms = 3.2 s; new behavior ships after ~50 ms.
+        ex = BatchedExecutor(engine, batch_size=64, top_k=5, max_wait_ms=50)
+        # warm the jitted path so compile time doesn't skew the measurement
+        ex.submit(np.asarray(engine.index.emb[0], np.float32)).result(
+            timeout=120
+        )
+        t0 = time.monotonic()
+        f = ex.submit(np.asarray(engine.index.emb[1], np.float32))
+        _scores, indices = f.result(timeout=120)
+        latency = time.monotonic() - t0
+        ex.shutdown()
+        assert indices[0] == 1
+        # generous bound: deadline 50 ms + device step + slack; the OLD
+        # behavior would take > 3 s on an idle queue at this batch size
+        assert latency < 1.5, f"partial batch held {latency:.2f}s"
+
+    def test_bulk_drain_fills_batches(self, engine):
+        from hcrag_tpu.query.executor import BatchedExecutor
+
+        ex = BatchedExecutor(engine, batch_size=16, top_k=5, max_wait_ms=2)
+        futs = [
+            ex.submit(np.asarray(engine.index.emb[i % 100], np.float32))
+            for i in range(64)
+        ]
+        for f in futs:
+            f.result(timeout=120)
+        ex.shutdown()
+        # 64 pre-queued requests at batch 16 -> ~4-5 batches, not 64
+        assert ex.batches_dispatched <= 8
