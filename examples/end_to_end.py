@@ -71,7 +71,9 @@ def main():
         ex.submit(np.asarray(bundle.index.emb[i], np.float32))
         for i in range(16)
     ]
-    done = [f.result(timeout=60) for f in futs]
+    # generous timeout: the serving step's first dispatch compiles a fresh
+    # jit shape, which can take minutes on a contended single-core host
+    done = [f.result(timeout=300) for f in futs]
     print(f"\n[executor] served {len(done)} requests in "
           f"{ex.batches_dispatched} device batches")
     ex.shutdown()
