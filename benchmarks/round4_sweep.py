@@ -99,10 +99,12 @@ def main():
                     resolved_kernel=engine.resolved_kernel_config(B, K))
 
     # ---- bf16 exact-rescore engine, batch sweep --------------------------
+    # NOTE: keep index.emb f32 — the engine derives the bf16 kernel bank
+    # itself and keeps the f32 copy for the exact rescore; downcasting here
+    # silently DISABLES exact_rescore (engine guard: rescore needs f32).
     import copy
-    idx_bf16 = copy.copy(index)
-    idx_bf16.emb = emb_f32.astype(ml_dtypes.bfloat16)
-    eng = QueryEngine(idx_bf16, graph, ell_max_degree=8, exact_rescore=32)
+    eng = QueryEngine(index, graph, ell_max_degree=8, exact_rescore=32)
+    assert eng.exact_rescore == 32, "exact rescore must be active"
     np.asarray(jnp.sum(eng.d_emb[:, -1].astype(jnp.float32)))  # residency
     sweep = {}
     for B in (1024, 2048, 4096):
@@ -136,10 +138,10 @@ def main():
     )
     d_q512 = jax.device_put(jnp.asarray(qmax[:512]))
     pts = []
-    for n in (131072, 262144, 524288, 1001472):
+    for n in (131072, 262144, 524288, 1_000_000):
         d_e = jax.device_put(
             jnp.asarray(emb_f32[:n].astype(ml_dtypes.bfloat16)))
-        d_m = jax.device_put(jnp.ones(n, bool))
+        d_m = jax.device_put(jnp.ones(d_e.shape[0], bool))
         np.asarray(jnp.sum(d_e[:, -1].astype(jnp.float32)))
         v, i = fn(d_q512, d_e, d_m)
         jax.block_until_ready((v, i)); np.asarray(v)
