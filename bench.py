@@ -43,11 +43,12 @@ def run_direct():
 
     n = int(os.environ.get("BENCH_N", 1_000_000))
     dim = int(os.environ.get("BENCH_DIM", 384))
-    # B=1024 default: the packed engine path internally splits into
-    # 512-query kernel blocks (VMEM), so doubling the submitted batch
-    # amortizes per-step dispatch/merge — measured 72.8k vs 56.0k QPS at 1M
-    # (benchmarks/results.json:synthetic_1000000).
-    batch = int(os.environ.get("BENCH_BATCH", 1024))
+    # B=4096 default (round 4): the packed engine path internally splits
+    # into 512-query VMEM blocks, and ~4.5-6 ms of every dispatch is relay
+    # overhead (results.json:dispatch_floor_fit), so larger submitted
+    # batches amortize it — measured 61.5k/69.5k/75.3k QPS at B=1024/2048/
+    # 4096 within one session (synthetic_1M_batch_sweep_r4).
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
     top_k = int(os.environ.get("BENCH_TOPK", 10))
     depth = int(os.environ.get("BENCH_DEPTH", 1))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
