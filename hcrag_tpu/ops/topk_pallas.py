@@ -104,7 +104,7 @@ def _lane_depth(k: int) -> int:
 
 
 def _packed_two_level_select(
-    packed_scores, base, *, k: int, k_pad: int
+    packed_scores, base, vals_ref, idxs_ref, *, k: int
 ):
     """Two-level selection over a packed [B, TILE_N] score matrix.
 
@@ -129,6 +129,11 @@ def _packed_two_level_select(
     lane bits make cross-lane ties impossible (the pick hits exactly one
     lane), and shifting the lane's remaining planes up restores the
     invariant — 1/groups of the per-pick VPU work of full-width masking.
+
+    Results are written DIRECTLY to the output refs, one column store per
+    pick (round 4): the old [B, k_pad] where-accumulator chain both cost 2
+    extra VPU passes per pick and — at k=100, B=512 — blew Mosaic's scoped
+    VMEM stack (57 MB of unreused unroll temporaries; compile error).
     """
     b, tile_n = packed_scores.shape
     lanes = 128
@@ -145,9 +150,9 @@ def _packed_two_level_select(
             s = jnp.minimum(m[i], s)
             m[i] = hi
 
-    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
-    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+    # Fillers once; slots 0..k-1 overwritten below.
+    vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
+    idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
     for j in range(k):
         best = jnp.max(m[0], axis=1)
         lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
@@ -157,18 +162,12 @@ def _packed_two_level_select(
         # > 0, not != 0: masked-out columns pack to NEGATIVE int32 (their
         # shifted score is negative — see the encode), empty slots to 0.
         valid = best > 0
-        sel_slot = slot_ids == j
-        vals_acc = jnp.where(
-            sel_slot, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
-        )
-        idxs_acc = jnp.where(
-            sel_slot, jnp.where(valid, lane + base, -1)[:, None], idxs_acc
-        )
+        vals_ref[:, j] = jnp.where(valid, val, NEG_INF)
+        idxs_ref[:, j] = jnp.where(valid, lane + base, -1)
         picked = m[0] == best[:, None]
         for i in range(t - 1):
             m[i] = jnp.where(picked, m[i + 1], m[i])
         m[t - 1] = jnp.where(picked, jnp.int32(0), m[t - 1])
-    return vals_acc, idxs_acc
 
 
 def _use_two_level(k: int, tile_n: int) -> bool:
@@ -257,14 +256,11 @@ def _topk_tile_kernel_packed(
 
     base = tile * tile_n
     if two_level:
-        vals_ref[:], idxs_ref[:] = _packed_two_level_select(
-            packed, base, k=k, k_pad=k_pad
-        )
+        _packed_two_level_select(packed, base, vals_ref, idxs_ref, k=k)
         return
 
-    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
-    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+    vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
+    idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
     for j in range(k):
         best = jnp.max(packed, axis=1)  # [b] single reduce
         lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
@@ -272,18 +268,9 @@ def _topk_tile_kernel_packed(
             (best & jnp.int32(~0x7FF))[:, None], jnp.float32
         )[:, 0] - 2.0
         valid = best > 0  # masked columns are negative, empty slots 0
-        sel = slot_ids == j
-        vals_acc = jnp.where(
-            sel, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
-        )
-        idxs_acc = jnp.where(
-            sel,
-            jnp.where(valid, lane + base, -1)[:, None],
-            idxs_acc,
-        )
+        vals_ref[:, j] = jnp.where(valid, val, NEG_INF)
+        idxs_ref[:, j] = jnp.where(valid, lane + base, -1)
         packed = jnp.where(packed == best[:, None], jnp.int32(0), packed)
-    vals_ref[:] = vals_acc
-    idxs_ref[:] = idxs_acc
 
 
 def _topk_tile_kernel_int8(
@@ -319,9 +306,6 @@ def _topk_tile_kernel_int8(
         * e_scale_ref[0, :][None, :]
     )
     base = tile * tile_n
-    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
-    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
 
     if packed:
         # Packed selection (see _topk_tile_kernel_packed, incl. the 3-pass
@@ -338,10 +322,12 @@ def _topk_tile_kernel_int8(
         bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
         packed_scores = bits | lane_row
         if two_level:
-            vals_ref[:], idxs_ref[:] = _packed_two_level_select(
-                packed_scores, base, k=k, k_pad=k_pad
+            _packed_two_level_select(
+                packed_scores, base, vals_ref, idxs_ref, k=k
             )
             return
+        vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
+        idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
         for j in range(k):
             best = jnp.max(packed_scores, axis=1)
             lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
@@ -349,23 +335,19 @@ def _topk_tile_kernel_int8(
                 (best & jnp.int32(~0x7FF))[:, None], jnp.float32
             )[:, 0] - 2.0
             valid = best > 0  # masked columns negative, empty slots 0
-            sel = slot_ids == j
-            vals_acc = jnp.where(
-                sel, jnp.where(valid, val, NEG_INF)[:, None], vals_acc
-            )
-            idxs_acc = jnp.where(
-                sel, jnp.where(valid, lane + base, -1)[:, None], idxs_acc
-            )
+            vals_ref[:, j] = jnp.where(valid, val, NEG_INF)
+            idxs_ref[:, j] = jnp.where(valid, lane + base, -1)
             packed_scores = jnp.where(
                 packed_scores == best[:, None], jnp.int32(0), packed_scores
             )
-        vals_ref[:] = vals_acc
-        idxs_ref[:] = idxs_acc
         return
 
     # Mask as a broadcast add (see _topk_tile_kernel): one pass, not two.
     scores = scores + jnp.where(mask_ref[0, :] != 0, 0.0, NEG_INF)[None, :]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
+    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
     for j in range(k):
         best = jnp.max(scores, axis=1)
         is_best = scores == best[:, None]
@@ -488,9 +470,7 @@ def _merge_vals_kernel(v_ref, vals_ref, idxs_ref, *, k: int, k_pad: int):
     shifted = v_ref[:] + 2.0
     bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
     packed = bits | lane_row
-    vals_ref[:], idxs_ref[:] = _packed_two_level_select(
-        packed, tile * tile_n, k=k, k_pad=k_pad
-    )
+    _packed_two_level_select(packed, tile * tile_n, vals_ref, idxs_ref, k=k)
 
 
 def _packed_candidate_merge(v, i, out_k, interpret):
