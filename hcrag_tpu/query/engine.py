@@ -405,6 +405,13 @@ class QueryEngine:
             # results.json:b1024_block_split_ablation_ms).
             packed = self.exact_rescore > 0
             sub_b = min(b, 512 if packed else 1024)
+            # Large-k packed selection: the k-unrolled pick loop's Mosaic
+            # stack grows with b*k and blows the scoped-VMEM limit at
+            # k=100/b=512 inside the fused step (57.4 MB > 16 MB compile
+            # error, round 4) — halve the query block instead; at k>=50
+            # selection dominates the extra bank read.
+            if packed and top_k > 48:
+                sub_b = min(sub_b, 256)
 
             def footprint(t):
                 return (
@@ -582,6 +589,8 @@ class QueryEngine:
         elif self.use_pallas:
             packed = self.exact_rescore > 0
             sub_b = min(batch, 512 if packed else 1024)
+            if packed and top_k > 48:
+                sub_b = min(sub_b, 256)  # mirrors _step's Mosaic-stack guard
             d = self.index.dim
             ebytes = np.dtype(np.asarray(self.index.emb).dtype).itemsize
             tile = self.pallas_tile_n
