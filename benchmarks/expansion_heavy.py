@@ -67,14 +67,15 @@ def main():
     deg = 8
     with timed("synthetic setup (1M, degree 8)"):
         index, graph = _synthetic_setup(N, D, graph_degree=deg)
-    emb_f32 = np.asarray(index.emb, dtype=np.float32)
-    import ml_dtypes
-
-    index.emb = emb_f32.astype(ml_dtypes.bfloat16)
+    # Keep the host bank f32: the engine derives the bf16 kernel bank
+    # itself and needs the f32 copy for the exact rescore — downcasting
+    # here silently disables exact_rescore (and with it the packed
+    # two-level kernel this config is meant to measure).
     with timed("engine init"):
         engine = QueryEngine(
             index, graph, ell_max_degree=deg, exact_rescore=32,
         )
+    assert engine.exact_rescore == 32
     rng = np.random.default_rng(7)
     queries = rng.standard_normal((B, D)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)

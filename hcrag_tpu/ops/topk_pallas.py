@@ -68,23 +68,21 @@ def _topk_tile_kernel(
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     base = tile * tile_n
 
-    # k static max+mask selection passes (unrolled; k is small), accumulated
-    # into lane-aligned [B, k_pad] buffers written once.
-    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
-    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+    # k static max+mask selection passes (unrolled; k is small); each pick
+    # stores its column directly into the output refs (fillers written
+    # once) — where-accumulator chains pile up Mosaic stack temporaries at
+    # large k (see _packed_two_level_select).
+    vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
+    idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
     for j in range(k):
         best = jnp.max(scores, axis=1)  # [B]
         # First-occurrence argmax for deterministic lowest-index ties.
         is_best = scores == best[:, None]
         first_best = jnp.min(jnp.where(is_best, col_ids, tile_n), axis=1)
-        sel = slot_ids == j
-        vals_acc = jnp.where(sel, best[:, None], vals_acc)
-        idxs_acc = jnp.where(sel, (first_best + base)[:, None], idxs_acc)
+        vals_ref[:, j] = best
+        idxs_ref[:, j] = first_best + base
         # Mask out the chosen column.
         scores = jnp.where(col_ids == first_best[:, None], NEG_INF, scores)
-    vals_ref[:] = vals_acc
-    idxs_ref[:] = idxs_acc
 
 
 def _round_up(x: int, m: int) -> int:
@@ -345,19 +343,15 @@ def _topk_tile_kernel_int8(
     # Mask as a broadcast add (see _topk_tile_kernel): one pass, not two.
     scores = scores + jnp.where(mask_ref[0, :] != 0, 0.0, NEG_INF)[None, :]
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-    vals_acc = jnp.full((b, k_pad), NEG_INF, jnp.float32)
-    idxs_acc = jnp.full((b, k_pad), -1, jnp.int32)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k_pad), 1)
+    vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
+    idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
     for j in range(k):
         best = jnp.max(scores, axis=1)
         is_best = scores == best[:, None]
         first_best = jnp.min(jnp.where(is_best, col_ids, tile_n), axis=1)
-        sel = slot_ids == j
-        vals_acc = jnp.where(sel, best[:, None], vals_acc)
-        idxs_acc = jnp.where(sel, (first_best + base)[:, None], idxs_acc)
+        vals_ref[:, j] = best
+        idxs_ref[:, j] = first_best + base
         scores = jnp.where(col_ids == first_best[:, None], NEG_INF, scores)
-    vals_ref[:] = vals_acc
-    idxs_ref[:] = idxs_acc
 
 
 @functools.partial(
