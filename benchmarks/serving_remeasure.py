@@ -43,13 +43,18 @@ def main():
     with timed("engine init"):
         engine = QueryEngine(index, graph, ell_max_degree=8, exact_rescore=32)
     rng = np.random.default_rng(7)
-    queries = rng.standard_normal((2048, D)).astype(np.float32)
+    # Micro-batch size is the serving throughput lever: every dispatch pays
+    # the ~6 ms relay floor (results.json dispatch_floor_fit), so 256-query
+    # micro-batches cap at ~36 ms/batch = 7k req/s while 1024 amortizes it.
+    serve_b = int(os.environ.get("SERVE_B", 1024))
+    n_req = int(os.environ.get("SERVE_N", 8192))
+    queries = rng.standard_normal((n_req, D)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
     np.asarray(jnp.sum(engine.d_emb[:, -1].astype(jnp.float32)))  # residency
 
-    serving = {}
+    serving = {"micro_batch": serve_b, "n_requests": n_req}
     for mode in ("retrieval", "full"):
-        ex = BatchedExecutor(engine, batch_size=256, top_k=10, mode=mode)
+        ex = BatchedExecutor(engine, batch_size=serve_b, top_k=10, mode=mode)
         ex.submit(queries[0]).result(timeout=600)  # warm/compile
         # Per-request latency: stamp resolve time via done-callbacks
         # (result() serializes in submit order and would skew the tail).

@@ -121,6 +121,19 @@ class BatchedExecutor:
                 items.append(self._queue.get(timeout=remaining))
             except queue.Empty:
                 break
+        # Backpressure fill (round 4): when the inflight pipeline is full,
+        # dispatching now would only block on `_inflight.put` — the device
+        # step pads every batch to batch_size, so shipping a partial batch
+        # under saturation burns a full-size step on a fraction of the
+        # requests (measured: B=1024 micro-batches at a ~4k req/s arrival
+        # shipped ~15%-full and HALVED throughput vs B=256).  Keep absorbing
+        # the queue until the batch is full or a pipeline slot frees; adds
+        # zero latency when the device is idle (condition is False).
+        while len(items) < self.batch_size and self._inflight.full():
+            try:
+                items.append(self._queue.get(timeout=0.001))
+            except queue.Empty:
+                pass
         return items
 
     def _loop(self) -> None:
