@@ -44,8 +44,12 @@ def main():
         engine = QueryEngine(index, graph, ell_max_degree=8, exact_rescore=32)
     rng = np.random.default_rng(7)
     # Micro-batch size is the serving throughput lever: every dispatch pays
-    # the ~6 ms relay floor (results.json dispatch_floor_fit), so 256-query
-    # micro-batches cap at ~36 ms/batch = 7k req/s while 1024 amortizes it.
+    # the ~6 ms relay floor (results.json dispatch_floor_fit), larger
+    # micro-batches amortize it.  This script is the CLOSED-LOOP backlog
+    # measure (every request pre-submitted); per-request latency here is
+    # dominated by standing-queue delay BY CONSTRUCTION — see
+    # serving_openloop.py for the arrival-rate sweep that separates
+    # queueing from service (round-5 VERDICT next-1).
     serve_b = int(os.environ.get("SERVE_B", 1024))
     n_req = int(os.environ.get("SERVE_N", 8192))
     queries = rng.standard_normal((n_req, D)).astype(np.float32)
@@ -56,27 +60,19 @@ def main():
     for mode in ("retrieval", "full"):
         ex = BatchedExecutor(engine, batch_size=serve_b, top_k=10, mode=mode)
         ex.submit(queries[0]).result(timeout=600)  # warm/compile
-        # Per-request latency: stamp resolve time via done-callbacks
-        # (result() serializes in submit order and would skew the tail).
-        resolve_t = np.zeros(len(queries))
-
-        def _stamp(i):
-            def cb(_f, i=i):
-                resolve_t[i] = time.monotonic()
-            return cb
-
         submit_t = np.zeros(len(queries))
         t0 = time.time()
         futs = []
         for i, q in enumerate(queries):
             submit_t[i] = time.monotonic()
-            f = ex.submit(q)
-            f.add_done_callback(_stamp(i))
-            futs.append(f)
+            futs.append(ex.submit(q))
         _ = [f.result(timeout=600) for f in futs]
         rps = len(queries) / (time.time() - t0)
+        # resolve_time is the resolver's per-batch monotonic stamp.
+        lat_ms = np.array(
+            [(f.resolve_time - s) * 1e3 for f, s in zip(futs, submit_t)]
+        )
         ex.shutdown()
-        lat_ms = (resolve_t - submit_t) * 1e3
         p50, p99 = np.percentile(lat_ms, [50, 99])
         log(f"[serving/{mode}] {rps:.0f} single-query req/s, "
             f"p50 {p50:.1f} ms, p99 {p99:.1f} ms")
@@ -84,10 +80,11 @@ def main():
         serving[f"{mode}_latency_ms_p50"] = round(float(p50), 2)
         serving[f"{mode}_latency_ms_p99"] = round(float(p99), 2)
     serving["note"] = (
-        "retrieval mode returns (scores, indices) from a retrieval-only "
-        "device step; full mode returns ServedResult (relevance, combined, "
-        "expansion) from the complete fused step — each mode's req/s "
-        "describes exactly what its futures deliver"
+        "CLOSED-LOOP: all requests pre-submitted, so latency ~= standing "
+        "backlog drain time by construction (not service latency — see "
+        "serving_openloop_1M).  retrieval mode returns (scores, indices) "
+        "from a retrieval-only device step; full mode returns ServedResult "
+        "(relevance, combined, expansion) from the complete fused step."
     )
 
     print(json.dumps(serving))

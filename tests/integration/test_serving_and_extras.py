@@ -404,3 +404,88 @@ class TestDispatcherDeadline:
         ex.shutdown()
         # 64 pre-queued requests at batch 16 -> ~4-5 batches, not 64
         assert ex.batches_dispatched <= 8
+
+
+class TestExecutorRound5:
+    """Round-5 serving hot-path redesign (VERDICT next-1)."""
+
+    def test_submit_many_matches_engine(self, engine):
+        """The vectorized submission path serves every request correctly."""
+        from hcrag_tpu.query.executor import BatchedExecutor
+
+        ex = BatchedExecutor(engine, batch_size=8, top_k=5, max_wait_ms=5)
+        embs = np.asarray(engine.index.emb[:20], np.float32)
+        futs = ex.submit_many(embs)
+        results = [f.result(timeout=120) for f in futs]
+        ex.shutdown()
+        assert len(results) == 20
+        for i, (scores, indices) in enumerate(results):
+            assert indices[0] == i
+            assert scores[0] == pytest.approx(1.0, abs=1e-4)
+        # resolve_time is stamped once per batch for open-loop latency
+        assert all(f.resolve_time > 0 for f in futs)
+
+    def test_adaptive_dispatch_sizes(self, engine):
+        """A lone request ships in the SMALLEST configured size; a bulk
+        backlog uses the large one (mean fill proves both paths ran)."""
+        from hcrag_tpu.query.executor import BatchedExecutor
+
+        ex = BatchedExecutor(
+            engine, batch_size=32, top_k=5, max_wait_ms=2,
+            batch_sizes=(4, 32),
+        )
+        s, i = ex.submit(np.asarray(engine.index.emb[0], np.float32)).result(
+            timeout=120
+        )
+        assert i[0] == 0
+        futs = ex.submit_many(np.asarray(engine.index.emb[:32], np.float32))
+        for f in futs:
+            f.result(timeout=120)
+        ex.shutdown()
+        assert ex.batches_dispatched == 2
+        assert ex.requests_served == 33
+
+    def test_shutdown_fails_pending_futures(self, engine):
+        """Futures still queued at shutdown raise instead of hanging
+        forever (round-4 ADVICE: the fill loop ignored _stop)."""
+        import threading
+
+        from hcrag_tpu.query import executor as exmod
+
+        class _StallEngine:
+            index = engine.index
+
+            def retrieve_batch_device(self, batch, top_k):
+                stall.wait(5)
+                raise RuntimeError("stalled")
+
+        stall = threading.Event()
+        ex = exmod.BatchedExecutor(
+            _StallEngine(), batch_size=4, top_k=5, max_wait_ms=1
+        )
+        futs = [
+            ex.submit(np.zeros(engine.index.dim, np.float32))
+            for _ in range(12)
+        ]
+        stall.set()
+        ex.shutdown()
+        n_failed = 0
+        for f in futs:
+            try:
+                f.result(timeout=5)
+            except (RuntimeError, TimeoutError):
+                n_failed += 1
+        assert n_failed == len(futs)
+
+    def test_done_callback_after_resolution(self, engine):
+        from hcrag_tpu.query.executor import BatchedExecutor
+
+        ex = BatchedExecutor(engine, batch_size=4, top_k=5, max_wait_ms=2)
+        fired = []
+        f = ex.submit(np.asarray(engine.index.emb[2], np.float32))
+        f.add_done_callback(lambda fut: fired.append(fut.resolve_time))
+        f.result(timeout=120)
+        ex.shutdown()
+        # callback registered late still fires exactly once
+        f.add_done_callback(lambda fut: fired.append("late"))
+        assert len(fired) == 2 and fired[1] == "late"
