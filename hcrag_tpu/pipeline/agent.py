@@ -334,7 +334,10 @@ class RetrievalAgent:
         return {"question": new_q.strip(), "revision_history": history}
 
     # -- node: generate_answer (…langgraph.py:734-796) ---------------------
-    def generate_answer(self, state: Dict) -> Dict:
+    def _answer_prompts(self, state: Dict):
+        """Build the (system, user, offline_fallback) triple for the final
+        generation call — factored out so ImprovedRetrievalAgent can stream
+        through the SAME prompts (call_stream) instead of re-deriving them."""
         final_nodes = state.get("final_relevant_nodes", [])
         query_input = state["query_input"]
         expanded_subgraph = state.get("expanded_subgraph", [])
@@ -379,6 +382,10 @@ class RetrievalAgent:
                 "endpoint configured.)"
             )
 
+        return system_prompt, user_prompt, offline_answer
+
+    def generate_answer(self, state: Dict) -> Dict:
+        system_prompt, user_prompt, offline_answer = self._answer_prompts(state)
         answer = self.client.call(system_prompt, user_prompt, fallback=offline_answer)
         if not isinstance(answer, str) or not answer.strip():
             answer = "No answer generated"

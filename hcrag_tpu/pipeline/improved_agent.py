@@ -147,6 +147,25 @@ class ImprovedRetrievalAgent(RetrievalAgent):
         )
         self.store.put(("preferences",), user_id, prefs)
 
+    # -- streaming generation (improved reference :160-210) ----------------
+    def generate_answer(self, state: Dict) -> Dict:
+        """Stream the final answer incrementally: `stream_callback` receives
+        token chunks AS THE LLM PRODUCES THEM (LLMClient.call_stream over the
+        OpenAI streaming API), replacing round-4's post-hoc word splitting of
+        the finished answer.  Offline, call_stream degrades to word-chunk
+        emission of the deterministic fallback — callbacks still arrive
+        before the node returns."""
+        if self.stream_callback is None:
+            return super().generate_answer(state)
+        system_prompt, user_prompt, offline_answer = self._answer_prompts(state)
+        answer = self.client.call_stream(
+            system_prompt, user_prompt, self.stream_callback,
+            fallback=offline_answer,
+        )
+        if not isinstance(answer, str) or not answer.strip():
+            answer = "No answer generated"
+        return {"final_answer": answer.strip()}
+
     # -- confidence (improved reference :338) ------------------------------
     @staticmethod
     def compute_confidence(final_nodes) -> float:
@@ -214,12 +233,6 @@ class ImprovedRetrievalAgent(RetrievalAgent):
                     f"{confidence:.2f}) and was not approved:\n\n"
                     + base_result.final_answer
                 )
-
-        if self.stream_callback is not None:
-            # Streaming: emit the answer in word chunks (the reference's
-            # token-callback behavior, :160-210).
-            for word in base_result.final_answer.split(" "):
-                self.stream_callback(word + " ")
 
         base_fields = {
             f.name: getattr(base_result, f.name)

@@ -155,6 +155,88 @@ class LLMClient:
             self.failure_count += 1
             return self._fallback(response_format, fallback)
 
+    def call_stream(
+        self,
+        system_prompt: str,
+        user_prompt: str,
+        on_token,
+        *,
+        timeout: Optional[float] = None,
+        fallback: Any = None,
+        max_tokens: Optional[int] = None,
+        temperature: Optional[float] = None,
+    ) -> str:
+        """Incremental answer generation (neo4j_rag_langgraph_improved.py:
+        160-210): the reference's async streaming LLM invokes a per-token
+        callback as chunks arrive; this is the synchronous equivalent over
+        the OpenAI streaming API (SSE `data:` lines, `delta.content`
+        chunks).  `on_token(text_chunk)` fires for every chunk BEFORE this
+        method returns the accumulated answer.
+
+        Offline / failure fallback preserves the callback contract: the
+        fallback answer is emitted through `on_token` in word chunks (the
+        reference's non-streaming degradation path), so callers render
+        progressively either way."""
+        timeout = timeout if timeout is not None else self.config.llm_timeout_s
+        self.call_count += 1
+
+        def _emit_fallback() -> str:
+            self.failure_count += 1
+            answer = fallback() if callable(fallback) else fallback
+            if not isinstance(answer, str) or not answer:
+                answer = FALLBACK_ANSWER
+            words = answer.split(" ")
+            for i, w in enumerate(words):
+                on_token(w if i == len(words) - 1 else w + " ")
+            return answer
+
+        if self.offline:
+            return _emit_fallback()
+        try:
+            import httpx
+
+            payload: dict = {
+                "model": self.config.llm_model,
+                "messages": [
+                    {"role": "system", "content": system_prompt},
+                    {"role": "user", "content": user_prompt},
+                ],
+                "stream": True,
+            }
+            if max_tokens is not None:
+                payload["max_tokens"] = max_tokens
+            if temperature is not None:
+                payload["temperature"] = temperature
+            parts: List[str] = []
+            with httpx.stream(
+                "POST",
+                self.config.llm_base_url.rstrip("/") + "/chat/completions",
+                json=payload,
+                headers={"Authorization": f"Bearer {self.config.llm_api_key}"},
+                timeout=timeout,
+            ) as resp:
+                resp.raise_for_status()
+                for line in resp.iter_lines():
+                    line = line.strip()
+                    if not line.startswith("data:"):
+                        continue
+                    data = line[len("data:"):].strip()
+                    if data == "[DONE]":
+                        break
+                    try:
+                        delta = json.loads(data)["choices"][0].get("delta", {})
+                    except Exception:
+                        continue
+                    chunk = delta.get("content")
+                    if chunk:
+                        parts.append(chunk)
+                        on_token(chunk)
+            if not parts:
+                return _emit_fallback()
+            return "".join(parts)
+        except Exception:
+            return _emit_fallback()
+
     @staticmethod
     def _parse(content: str, response_format: Type[BaseModel]) -> BaseModel:
         try:

@@ -134,6 +134,71 @@ class TestImprovedAgent:
         )
         r = agent.run("mountain bike")
         assert "".join(chunks).strip() == r.final_answer
+        # offline degradation still streams progressively, not one blob
+        assert len(chunks) > 5
+
+    def test_call_stream_sse_tokens_arrive_before_return(self, monkeypatch):
+        """Real incremental streaming (neo4j_rag_langgraph_improved.py:
+        160-210): with a mocked SSE endpoint, on_token fires per delta chunk
+        BEFORE call_stream returns, and the return value is the
+        concatenation of exactly those chunks."""
+        import contextlib
+        import json as _json
+
+        import httpx
+
+        from hcrag_tpu.config import RuntimeConfig
+        from hcrag_tpu.pipeline.llm import LLMClient
+
+        sse_tokens = ["The ", "Mountain-100 ", "is ", "in ", "stock."]
+
+        class _FakeResp:
+            def raise_for_status(self):
+                pass
+
+            def iter_lines(self):
+                for t in sse_tokens:
+                    yield "data: " + _json.dumps(
+                        {"choices": [{"delta": {"content": t}}]}
+                    )
+                    # every chunk must already have been delivered by the
+                    # time the next SSE line is read
+                    assert seen == sse_tokens[: len(seen)]
+                yield "data: [DONE]"
+
+        @contextlib.contextmanager
+        def fake_stream(method, url, **kw):
+            assert kw["json"]["stream"] is True
+            yield _FakeResp()
+
+        monkeypatch.setattr(httpx, "stream", fake_stream)
+        client = LLMClient(RuntimeConfig(llm_base_url="http://mock:1/v1"))
+        seen = []
+        returned = {}
+
+        def on_token(chunk):
+            assert not returned, "token arrived after call_stream returned"
+            seen.append(chunk)
+
+        answer = client.call_stream("sys", "user", on_token)
+        returned["done"] = True
+        assert seen == sse_tokens
+        assert answer == "".join(sse_tokens)
+
+    def test_call_stream_offline_word_fallback(self):
+        """Offline, call_stream preserves the callback contract by emitting
+        the fallback answer in word chunks (the reference's degradation)."""
+        from hcrag_tpu.pipeline.llm import LLMClient
+
+        client = LLMClient()
+        assert client.offline
+        seen = []
+        answer = client.call_stream(
+            "sys", "user", seen.append, fallback="alpha beta gamma"
+        )
+        assert answer == "alpha beta gamma"
+        assert seen == ["alpha ", "beta ", "gamma"]
+        assert client.failure_count == 1
 
     def test_history_compression(self):
         from hcrag_tpu.pipeline.improved_agent import compress_history
