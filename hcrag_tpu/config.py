@@ -39,6 +39,14 @@ CHARS_PER_TOKEN = 4  # enhanced_rag_system.py:83-85
 MAX_QUERY_ENTITIES = 10  # neo4j_rag_langgraph.py:290
 EMBED_DIM = 384  # all-MiniLM-L6-v2 output dim
 
+#: Calibrated probability below which a distilled-encoder query embedding is
+#: treated as off-domain (models/confidence.py): the interface blends in
+#: keyword retrieval and flags the result, the agent records the signal in
+#: its result.  The reference's true checkpoint (embedding_generator.py:
+#: 18-21) needs no such gate; the distilled stand-in does (its held-out
+#: retrieval agreement is data-limited — tools/minilm_holdout_report.json).
+ENCODER_CONFIDENCE_THRESHOLD = 0.5
+
 
 @dataclasses.dataclass
 class RuntimeConfig:

@@ -119,6 +119,12 @@ class AgentResult:
     revision_history: List[str]
     decision: str
     node_trace: List[str]
+    #: Calibrated in-domain probability of the distilled encoder for the
+    #: (final) question, when the engine uses one (models/confidence.py);
+    #: None for non-trainable encoders.  Low values mean the semantic gate
+    #: ran over embeddings of unknown fidelity — surfaced so callers can
+    #: downgrade (round-5 VERDICT next-3).
+    encoder_confidence: Optional[Dict] = None
 
 
 class RetrievalAgent:
@@ -143,12 +149,31 @@ class RetrievalAgent:
         intent = analyze_query_intent(question, self.client)
         entities = extract_entities_from_query(question, self.client)
         embeddings = np.asarray(self.engine.embedder.encode([question])[0])
-        return {
+        out = {
             "query_input": QueryInput(
                 text=question, embeddings=embeddings, entities=entities,
                 intent=intent,
             )
         }
+        # Encoder-confidence signal for distilled encoders: recorded in the
+        # state (and surfaced on AgentResult) so a low-fidelity encode of
+        # the question is visible instead of silently gating semantics on
+        # it (round-5 VERDICT next-3).
+        emb = self.engine.embedder
+        if hasattr(emb, "load_params") and self.engine.index.n <= 100_000:
+            try:
+                from hcrag_tpu.models.confidence import encoder_confidence
+
+                bank = np.asarray(self.engine.index.emb, np.float32)
+                bank_norm = bank / np.maximum(
+                    np.linalg.norm(bank, axis=1, keepdims=True), 1e-12
+                )
+                out["encoder_confidence"] = encoder_confidence(
+                    emb, bank_norm, question, query_emb=embeddings[None, :]
+                )
+            except Exception:
+                pass
+        return out
 
     # -- node: sample_nodes (neo4j_rag_langgraph.py:310-349, 414-422) ------
     def sample_nodes(self, state: Dict) -> Dict:
@@ -451,4 +476,5 @@ class RetrievalAgent:
             revision_history=state.get("revision_history", []),
             decision=state.get("decision", ""),
             node_trace=trace,
+            encoder_confidence=state.get("encoder_confidence"),
         )

@@ -69,6 +69,31 @@ class QueryInterface:
         self._row_tokens = [
             frozenset(_TOKEN_RE.findall(t.lower())) for t in engine.index.texts
         ]
+        self._bank_norm = None  # lazy, for encoder-confidence features
+
+    # --- encoder-confidence gate (round-5 VERDICT next-3) -------------------
+    def _encoder_confidence(self, question: str) -> Optional[Dict]:
+        """Calibrated in-domain probability for the distilled encoder on
+        this query (models/confidence.py), or None when the engine uses a
+        non-trainable encoder / the bank is too large for the host-side
+        feature pass.  The reference's true MiniLM checkpoint
+        (embedding_generator.py:18-21) needs no gate; the distilled
+        stand-in must not silently serve off-domain queries."""
+        emb = self.engine.embedder
+        if not hasattr(emb, "load_params") or self.engine.index.n > 100_000:
+            return None
+        try:
+            from hcrag_tpu.models.confidence import encoder_confidence
+
+            if self._bank_norm is None:
+                bank = np.asarray(self.engine.index.emb, np.float32)
+                self._bank_norm = bank / np.maximum(
+                    np.linalg.norm(bank, axis=1, keepdims=True), 1e-12
+                )
+            return encoder_confidence(emb, self._bank_norm, question)
+        except Exception:
+            # The gate must never break query serving.
+            return None
 
     # --- mode engines -------------------------------------------------------
     def _embed(self, question: str) -> np.ndarray:
@@ -187,15 +212,41 @@ class QueryInterface:
             mode_used = mode
         try:
             hits = runner(question)
+            metadata: Dict[str, Any] = {
+                "top_score": hits[0]["similarity_score"] if hits else 0.0,
+                "results": hits,
+            }
+            # Low-confidence downgrade: when the distilled encoder's
+            # calibrated in-domain probability falls below the gate, the
+            # embedding-driven hits are unreliable — blend in keyword
+            # (embedding-free) retrieval ahead of them and flag the result
+            # visibly (round-5 VERDICT next-3: nothing previously ACTED on
+            # the confidence signal).
+            if mode_used != "keyword":
+                conf = self._encoder_confidence(question)
+                if conf is not None:
+                    metadata["encoder_confidence"] = conf
+                    from hcrag_tpu import config as _cfg
+
+                    if conf["score"] < _cfg.ENCODER_CONFIDENCE_THRESHOLD:
+                        metadata["low_confidence"] = True
+                        metadata["fallback_mode"] = "keyword"
+                        kw = self._keyword(question)
+                        seen = {h["content"] for h in kw}
+                        hits = kw + [
+                            h for h in hits if h["content"] not in seen
+                        ]
+                        metadata["results"] = hits
+                        metadata["top_score"] = (
+                            hits[0]["similarity_score"] if hits else 0.0
+                        )
+                        mode_used = f"{mode_used}+keyword_fallback"
             return {
                 "question": question,
                 "answer": self._answer(question, hits),
                 "mode": mode_used,
                 "source_nodes": len(hits),
-                "metadata": {
-                    "top_score": hits[0]["similarity_score"] if hits else 0.0,
-                    "results": hits,
-                },
+                "metadata": metadata,
             }
         except Exception as e:  # the reference returns, never raises
             return {

@@ -185,6 +185,49 @@ class TestImprovedAgent:
         assert seen == sse_tokens
         assert answer == "".join(sse_tokens)
 
+    def test_garbage_query_triggers_low_confidence_path(self, engine):
+        """Round-5 VERDICT next-3: a garbage query through a distilled
+        encoder must VISIBLY downgrade — low_confidence flag + keyword
+        fallback mode — instead of silently serving unreliable embeddings."""
+        from hcrag_tpu.models.minilm import load_distilled_embedder
+        from hcrag_tpu.query.interface import QueryInterface
+
+        emb = load_distilled_embedder()
+        if emb is None:
+            pytest.skip("distilled encoder artifact absent")
+        old = engine.embedder
+        try:
+            engine.attach_device_encoder(emb)
+            qi = QueryInterface(engine)
+            r = qi.query("zzxqv fnarg blorp quux 9931", mode="vector")
+            conf = r["metadata"].get("encoder_confidence")
+            assert conf is not None and 0.0 <= conf["score"] <= 1.0
+            assert r["metadata"]["low_confidence"] is True
+            assert r["metadata"]["fallback_mode"] == "keyword"
+            assert r["mode"].endswith("+keyword_fallback")
+            # keyword mode itself never consults the encoder -> no gate
+            r_kw = qi.query("zzxqv fnarg blorp quux 9931", mode="keyword")
+            assert "encoder_confidence" not in r_kw["metadata"]
+        finally:
+            engine.attach_device_encoder(old)
+
+    def test_agent_surfaces_encoder_confidence(self, engine):
+        from hcrag_tpu.models.minilm import load_distilled_embedder
+        from hcrag_tpu.pipeline.agent import RetrievalAgent
+
+        emb = load_distilled_embedder()
+        if emb is None:
+            pytest.skip("distilled encoder artifact absent")
+        old = engine.embedder
+        try:
+            engine.attach_device_encoder(emb)
+            agent = RetrievalAgent(engine)
+            r = agent.run("mountain bike")
+            assert r.encoder_confidence is not None
+            assert 0.0 <= r.encoder_confidence["score"] <= 1.0
+        finally:
+            engine.attach_device_encoder(old)
+
     def test_call_stream_offline_word_fallback(self):
         """Offline, call_stream preserves the callback contract by emitting
         the fallback answer in word chunks (the reference's degradation)."""
