@@ -138,16 +138,97 @@ def cmd_agent(args):
     print(result.final_answer)
 
 
-def cmd_viz(args):
+#: The reference's canned demo queries (demo_visualization.py:68-93).
+DEMO_QUERIES = [
+    ("mountain bike components",
+     "Find mountain bike parts and see how they're related", 8, 0.25),
+    ("road bike frames",
+     "Explore road bike frame products and their relationships", 6, 0.3),
+    ("HL Road Frame Black",
+     "Find a specific product and its similar items", 5, 0.2),
+    ("bicycle handlebars",
+     "Discover handlebar products and their connections", 7, 0.25),
+]
+
+
+def _viz_one(engine, query, top_k, threshold, out, open_browser):
     from hcrag_tpu.viz.cytoscape import visualize_query_results
 
-    engine = _load_engine(args)
     results, path = visualize_query_results(
-        engine, args.query, top_k=args.top_k, similarity_threshold=0.0,
-        output_path=args.out,
+        engine, query, top_k=top_k, similarity_threshold=threshold,
+        output_path=out,
     )
     print(results["summary"])
+    if path is None:
+        print("no results to visualize")
+        return
     print(f"visualization: {path}")
+    if open_browser:
+        import webbrowser
+
+        webbrowser.open(f"file://{Path(path).resolve()}")
+
+
+def cmd_viz(args):
+    engine = _load_engine(args)
+    if args.query:
+        _viz_one(engine, args.query, args.top_k, 0.0, args.out, args.open)
+        return
+    # Interactive demo loop with the reference's canned queries
+    # (demo_visualization.py:68-93): numbered menu, custom entry, exit.
+    while True:
+        print("\nChoose a demo query:")
+        for i, (q, desc, _, _) in enumerate(DEMO_QUERIES, 1):
+            print(f'  {i}. "{q}" - {desc}')
+        print(f"  {len(DEMO_QUERIES) + 1}. Enter your own query")
+        print("  0. Exit")
+        try:
+            choice = input("> ").strip()
+        except EOFError:
+            return
+        if choice == "0" or choice.lower() in ("q", "quit", "exit"):
+            return
+        if choice == str(len(DEMO_QUERIES) + 1):
+            try:
+                query = input("query> ").strip()
+            except EOFError:
+                return
+            top_k, thr = args.top_k, 0.0
+        elif choice.isdigit() and 1 <= int(choice) <= len(DEMO_QUERIES):
+            query, _, top_k, thr = DEMO_QUERIES[int(choice) - 1]
+        else:
+            print("invalid choice")
+            continue
+        if query:
+            _viz_one(engine, query, top_k, thr, args.out, args.open)
+
+
+def cmd_graph_html(args):
+    """Whole-graph HTML overview — `save_networkx_graph` analogue
+    (graph_builder.py:545)."""
+    from hcrag_tpu.viz.cytoscape import save_graph_html
+
+    if args.store:
+        from hcrag_tpu.core.property_graph import PropertyGraphStore
+
+        graph = PropertyGraphStore.load(args.store)
+        title = f"Property Graph ({args.store})"
+    else:
+        engine = _load_engine(args)
+        if engine.graph is None:
+            print("engine has no graph")
+            return
+        graph = engine.graph
+        title = "Knowledge Graph"
+    path = save_graph_html(
+        graph, output_path=args.out or "kg.html", title=title,
+        max_nodes=args.max_nodes,
+    )
+    print(f"graph overview: {path}")
+    if args.open:
+        import webbrowser
+
+        webbrowser.open(f"file://{Path(path).resolve()}")
 
 
 def cmd_extract_graph(args):
@@ -203,17 +284,28 @@ def main(argv=None):
     for name, fn in (
         ("query", cmd_query), ("repl", cmd_repl),
         ("agent", cmd_agent), ("viz", cmd_viz), ("stats", cmd_stats),
+        ("graph-html", cmd_graph_html),
     ):
         s = sub.add_parser(name)
-        if name in ("query", "agent", "viz"):
+        if name in ("query", "agent"):
             s.add_argument("query")
+        elif name == "viz":
+            # no query -> the reference's interactive canned-query menu
+            s.add_argument("query", nargs="?", default=None)
         s.add_argument("--artifacts", default=None)
         s.add_argument("--data", default=DEFAULT_DATA)
         s.add_argument("--pickle", default=None)
         s.add_argument("--top-k", type=int, default=5)
         s.add_argument("--threshold", type=float, default=0.3)
-        if name == "viz":
+        if name in ("viz", "graph-html"):
             s.add_argument("--out", default=None)
+            s.add_argument("--open", action="store_true",
+                           help="open the HTML in a browser (main.py:347-352)")
+        if name == "graph-html":
+            s.add_argument("--store", default=None,
+                           help="path-extraction property_graph.json instead "
+                                "of the engine graph")
+            s.add_argument("--max-nodes", type=int, default=400)
         s.set_defaults(fn=fn)
 
     args = p.parse_args(argv)

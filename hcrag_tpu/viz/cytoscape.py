@@ -13,6 +13,8 @@ from __future__ import annotations
 import json
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 from hcrag_tpu.core.types import EDGE_TYPES
 from hcrag_tpu.ops.expand import expansion_edges_host
 
@@ -203,6 +205,83 @@ def generate_cytoscape_html(subgraph_data: Dict, title: str) -> str:
     return _HTML_TEMPLATE.format(
         title=title, elements_json=json.dumps(elements)
     )
+
+
+def save_graph_html(
+    graph,
+    output_path: str = "kg.html",
+    title: str = "Knowledge Graph",
+    max_nodes: int = 400,
+) -> str:
+    """Render the WHOLE graph store as an interactive HTML overview page —
+    the `save_networkx_graph(name="./kg.html")` analogue
+    (graph_builder.py:545): the reference renders the extracted property
+    graph itself, not just query-result subgraphs.
+
+    Accepts either a `CsrGraph` (the retrieval adjacency) or a
+    `PropertyGraphStore` (path-extraction output; lowered through
+    `to_csr()`).  Graphs larger than `max_nodes` show the highest-degree
+    nodes with their induced edges (degree is the structural signal the
+    layout needs; the cap keeps the cose layout interactive)."""
+    if hasattr(graph, "to_csr"):  # PropertyGraphStore -> (CsrGraph, types)
+        graph, _ = graph.to_csr()
+    n = graph.num_nodes
+    degree = np.diff(np.asarray(graph.row_ptr))
+    keep = np.argsort(-degree, kind="stable")[:max_nodes]
+    keep_set = set(keep.tolist())
+    max_deg = max(1, int(degree[keep].max()) if len(keep) else 1)
+    type_names = graph.type_names
+    nodes = [
+        {
+            "data": {
+                "id": f"n{i}",
+                "label": str(graph.node_texts[i])[:50] or graph.node_labels[i],
+                "type": graph.node_labels[i],
+                # degree drives size/color through the shared template's
+                # similarity channel (documented in the detail panel)
+                "similarity_score": float(degree[i]) / max_deg,
+                "content": (
+                    f"degree: {int(degree[i])} | key: {graph.node_keys[i]} | "
+                    + str(graph.node_texts[i])[:240]
+                ),
+            }
+        }
+        for i in keep
+    ]
+    edges = []
+    seen_pairs = set()
+    col = np.asarray(graph.col_idx)
+    etype = np.asarray(graph.edge_type)
+    rp = np.asarray(graph.row_ptr)
+    for i in keep:
+        for e in range(int(rp[i]), int(rp[i + 1])):
+            j = int(col[e])
+            if j not in keep_set:
+                continue
+            t = int(etype[e])
+            key = (min(int(i), j), max(int(i), j), t)
+            if key in seen_pairs:
+                continue
+            seen_pairs.add(key)
+            edges.append(
+                {
+                    "data": {
+                        "id": f"e{len(edges)}",
+                        "source": f"n{int(i)}",
+                        "target": f"n{j}",
+                        "relationship": type_names[t],
+                        "is_expansion": False,
+                    }
+                }
+            )
+    shown = len(nodes)
+    page_title = title if shown == n else (
+        f"{title} (top {shown} of {n} nodes by degree)"
+    )
+    html = generate_cytoscape_html({"nodes": nodes, "edges": edges}, page_title)
+    with open(output_path, "w") as f:
+        f.write(html)
+    return output_path
 
 
 def visualize_query_results(

@@ -294,6 +294,37 @@ class TestVisualization:
             if n["data"]["is_connected"]:
                 assert n["data"]["similarity_score"] == 0.0
 
+    def test_whole_graph_overview_html(self, engine, tmp_path):
+        """save_networkx_graph analogue (graph_builder.py:545): the graph
+        STORE itself renders to an interactive page, capped by degree."""
+        from hcrag_tpu.viz.cytoscape import save_graph_html
+
+        out = tmp_path / "kg.html"
+        path = save_graph_html(engine.graph, output_path=str(out),
+                               max_nodes=50)
+        assert path == str(out)
+        html = out.read_text()
+        assert "cytoscape" in html
+        n_rendered = html.count('"id": "n')
+        assert 0 < n_rendered <= 50
+        # cap annotation appears when the graph is larger than the cap
+        if engine.graph.num_nodes > 50:
+            assert "top " in html and "by degree" in html
+
+    def test_property_store_overview_html(self, tmp_path):
+        from hcrag_tpu.core.property_graph import PropertyGraphStore, Triple
+        from hcrag_tpu.viz.cytoscape import save_graph_html
+
+        store = PropertyGraphStore()
+        store.upsert_node("Mountain Bike", label="product")
+        store.upsert_node("Frame Spec", label="document")
+        store.upsert_triple(Triple("Mountain Bike", "described_by", "Frame Spec"))
+        out = tmp_path / "store.html"
+        save_graph_html(store, output_path=str(out))
+        html = out.read_text()
+        # predicate vocabulary is normalized upper-case on lowering
+        assert "DESCRIBED_BY" in html and "Mountain Bike" in html
+
 
 class TestReranker:
     def test_distillation_reduces_loss(self):
