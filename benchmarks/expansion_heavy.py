@@ -137,9 +137,17 @@ def main():
         qps=results["full_step_qps"], batch=B, prev_round_qps=prev,
         breakdown=results,
         note=(
-            "sort-based discovery-order dedup + no-op frontier dedup "
-            "removed (ops/expand.py); breakdown isolates retrieval k=100, "
-            f"depth-3 expansion, and the [B, {B * 584}] dedup"
+            "full_step uses expand_batch_early_exit: top-100 seeds x "
+            "degree-8 give ~800 hop-1 candidates >> the 20-node cap, so "
+            "the fused step exits after ONE hop and never runs the deep "
+            "gathers.  expansion_only / dedup_only are WORST-CASE "
+            "microbenches of the non-early-exit paths (expand_batch over "
+            "all 3 hops; one standalone [B, 58400] adversarial-random "
+            "dedup) — they bound what an adversarial batch could cost, "
+            "they are NOT components of the measured full_step time "
+            "(round-5 VERDICT weak-6 clarification; cap-boundary "
+            "semantics pinned by tests/unit/test_property_based.py::"
+            "TestCapBoundary)"
         ),
     )
     json.dump(data, open(out, "w"), indent=2)

@@ -88,6 +88,82 @@ class TestExpansionProperties:
         assert (out[c:] == -1).all()
 
 
+class TestCapBoundary:
+    """Pin the reference's cap semantics at the boundary
+    (subgraph_expander.py:172-183, round-5 VERDICT next-7): the node cap
+    stops ADDING nodes, but edges to already-kept nodes keep accumulating
+    after the cap; edges toward never-kept nodes do not appear."""
+
+    def _line_graph(self):
+        """Star: node 0 -> {1..6} via ANNOTATION; node 7 -> 1 (already-kept
+        target) and 7 -> 8 (never-kept target), all whitelisted."""
+        from hcrag_tpu.core.graph import CsrGraph
+        from hcrag_tpu.core.types import edge_type_id
+
+        t = edge_type_id("ANNOTATION")
+        src = np.array([0, 0, 0, 0, 0, 0, 7, 7], np.int64)
+        dst = np.array([1, 2, 3, 4, 5, 6, 1, 8], np.int64)
+        et = np.full(8, t, np.int8)
+        return CsrGraph.from_edges(
+            9, src, dst, et,
+            node_labels=["Product"] * 9,
+            node_keys=[str(i) for i in range(9)],
+            node_texts=[f"n{i}" for i in range(9)],
+            symmetrize=False,
+        )
+
+    def test_edges_still_added_after_node_cap(self):
+        from hcrag_tpu.ops.expand import expansion_edges_host
+
+        g = self._line_graph()
+        edges = expansion_edges_host(g, [0, 7], max_nodes=3)
+        kept_nodes = {dst for _, dst, _ in edges[:3]}
+        # first 3 discovered nodes (1, 2, 3) are the kept set
+        assert kept_nodes == {1, 2, 3}
+        all_dsts = [dst for _, dst, _ in edges]
+        # post-cap: the edge 7->1 (already-kept target) IS present...
+        assert (7, 1) in {(s, d) for s, d, _ in edges}
+        # ...but neither a node nor an edge for the never-kept target 8,
+        # nor edges to the capped-out nodes 4/5/6
+        assert 8 not in all_dsts
+        assert not {4, 5, 6} & set(all_dsts)
+
+    def test_exact_cap_count_and_discovery_order(self):
+        from hcrag_tpu.ops.expand import expand_k_hop
+
+        g = self._line_graph()
+        ell = g.to_ell(max_degree=8)
+        out, count = expand_k_hop(
+            jnp.asarray(ell.neighbors), jnp.asarray([0, 7], np.int32),
+            depth=1, max_nodes=3,
+        )
+        assert int(count) == 3
+        # FIRST discovered win; node 0's neighbors precede node 7's
+        assert np.asarray(out)[:3].tolist() == [1, 2, 3]
+
+    def test_early_exit_equals_plain_at_boundary(self):
+        """expand_batch_early_exit must equal expand_batch both when the
+        cap binds after hop 1 (exit taken) and when it never binds
+        (fall-through to full depth)."""
+        from hcrag_tpu.ops.expand import expand_batch, expand_batch_early_exit
+
+        rng = np.random.default_rng(11)
+        gsize = 64
+        neighbors = rng.integers(-1, gsize, size=(gsize, 4)).astype(np.int32)
+        seeds = rng.integers(0, gsize, size=(5, 6)).astype(np.int32)
+        for max_nodes in (2, 8, 64):
+            a_out, a_cnt = expand_batch(
+                jnp.asarray(neighbors), jnp.asarray(seeds),
+                depth=2, max_nodes=max_nodes,
+            )
+            b_out, b_cnt = expand_batch_early_exit(
+                jnp.asarray(neighbors), jnp.asarray(seeds),
+                depth=2, max_nodes=max_nodes,
+            )
+            np.testing.assert_array_equal(np.asarray(a_out), np.asarray(b_out))
+            np.testing.assert_array_equal(np.asarray(a_cnt), np.asarray(b_cnt))
+
+
 class TestEntityMatchProperties:
     @SETTINGS
     @given(
