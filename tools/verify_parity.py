@@ -14,6 +14,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Force CPU for real: sitecustomize pre-imports jax, so the JAX_PLATFORMS
+# env var alone is too late here (NOTES.md).  Without this the parity run
+# silently executes on the tunneled TPU — and the seeded agent replay then
+# differs from the CPU-generated fixture by backend numerics.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 PKL = "/root/reference/experiments/knowledge_graph_embeddings.pkl"
@@ -139,6 +147,37 @@ def main():
                 CompositeWeights().as_array().tolist()
                 == [np.float32(0.3), np.float32(0.45), np.float32(0.15),
                     np.float32(0.1)])
+
+    print("== agent (seeded trace vs committed fixture) ==")
+    # Round-5 VERDICT next-8: the rebuilt evaluate/revise agent replayed on
+    # the real 585-row index with the fixture's seed must be byte-identical
+    # to the committed artifact AND satisfy the reference wiring/threshold
+    # invariants (neo4j_rag_langgraph.py:801-838).
+    import json as _json
+
+    from tools import agent_trace_fixture as atf
+
+    try:
+        with open(atf.FIXTURE) as f:
+            fixture = _json.load(f)
+        traces = atf.run_traces()
+        same = traces == fixture
+        if not same:
+            for q in fixture:
+                if traces.get(q) != fixture[q]:
+                    keys = [
+                        k for k in fixture[q]
+                        if traces.get(q, {}).get(k) != fixture[q][k]
+                    ] if isinstance(fixture[q], dict) else ["<entry>"]
+                    print(f"    differs: {q!r} keys={keys}")
+        ok &= check("deterministic replay == fixture", same,
+                    f"({len([k for k in fixture if not k.startswith('_')])} "
+                    "seeded questions)")
+        problems = atf.check_invariants(traces)
+        ok &= check("reference wiring/threshold invariants", not problems,
+                    "" if not problems else str(problems[:3]))
+    except FileNotFoundError:
+        ok &= check("agent fixture present", False, "(run tools/agent_trace_fixture.py)")
 
     print("\nOVERALL:", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
