@@ -68,12 +68,15 @@ def run_direct():
     # int8 residency mode: "" = int8 + bf16 rescore copy; "only" = no
     # rescore source (max density); "residual" = int8 + int8-residual
     # rescore bank (2 bytes/elem stored, 1 byte/elem streamed — the 10M
-    # one-chip config with exact-rescore recall).
+    # one-chip config with exact-rescore recall); "f32" = int8 selection +
+    # f32 exact rescore (round-5 throughput mode: int8 E-read/MXU speed,
+    # f32 recall-1.0 ranking; +4 bytes/elem resident).
     int8_mode = os.environ.get("BENCH_INT8_MODE", "")
-    # Residual mode quantizes from TRUE f32 (the residual must capture the
-    # f32 values, not bf16-rounded ones, to recover exact-match recall);
-    # other int8/bf16 modes downcast the host index to halve transfer.
-    if (quantize_int8 and int8_mode != "residual") or (
+    # Residual/f32-rescore modes quantize + rescore from TRUE f32 (the
+    # refinement must see f32 values, not bf16-rounded ones, to recover
+    # exact-match recall); other int8/bf16 modes downcast the host index to
+    # halve transfer.
+    if (quantize_int8 and int8_mode not in ("residual", "f32")) or (
         dtype == "bfloat16" and not rescore
     ):
         import ml_dtypes
@@ -87,6 +90,7 @@ def run_direct():
         quantize_int8=quantize_int8,
         int8_only=int8_mode == "only",
         int8_residual=int8_mode == "residual",
+        int8_f32_rescore=int8_mode == "f32",
         int8_rescore=rescore,
         exact_rescore=rescore if dtype == "bfloat16" else 0,
     )
@@ -169,12 +173,13 @@ def run_direct():
     # (the fused kernel writes only [B, k] candidates; rescore gathers are
     # m*B rows — noise).  bytes/step and the implied effective GB/s make
     # the "memory-bandwidth speed-of-light" claim checkable from the JSON.
+    sub_b = resolved.get("sub_batch", 512)
     if quantize_int8:
-        sel_bytes, sub_b = 1, 512
+        sel_bytes = 1
         n_bank = engine.d_emb_int8.shape[0]
     else:
         sel_bytes = np.dtype(np.asarray(engine.d_emb).dtype).itemsize
-        sub_b, n_bank = 1024, engine.d_emb.shape[0]
+        n_bank = engine.d_emb.shape[0]
     passes = -(-batch // sub_b)  # bank re-read per lax.map sub-batch chunk
     bank_bytes_per_step = n_bank * dim * sel_bytes * passes
     eff_gbps = bank_bytes_per_step / (elapsed / steps) / 2**30

@@ -114,6 +114,7 @@ class QueryEngine:
         int8_only: bool = False,
         int8_residual: bool = False,
         int8_rescore: int = 0,
+        int8_f32_rescore: bool = False,
         exact_rescore: int = 0,
         pallas_interpret: Optional[bool] = None,
     ):
@@ -170,6 +171,15 @@ class QueryEngine:
             max(0, int(int8_rescore))
             if (quantize_int8 and (not self.int8_only or self.int8_residual))
             else 0
+        )
+        #: Round-5 headline mode: int8 SELECTION bank (half the bf16 E-read
+        #: bytes + int8 MXU throughput) with candidates rescored from a kept
+        #: f32 bank — the recall-1.0 exactness of the bf16+f32 hybrid at
+        #: int8 selection speed.  Memory: +4 bytes/elem resident (f32 bank),
+        #: so this is the <=1M-rows throughput mode, not the 10M density
+        #: mode (which stays int8_residual).
+        self.int8_f32_rescore = (
+            bool(int8_f32_rescore) and quantize_int8 and not self.int8_only
         )
         #: Float-path analogue (`exact_rescore=m`): the kernel bank drops to
         #: bf16 and an f32 bank is kept for candidate rescoring — bf16 input
@@ -285,7 +295,12 @@ class QueryEngine:
                 # bf16 copy for expanded-node scoring gathers (small gathers;
                 # dominated by the int8 matmul savings).
                 self.d_emb = put(jnp.asarray(emb_host).astype(jnp.bfloat16))
-            self.d_emb_f32 = None
+            if self.int8_f32_rescore and emb_host.dtype == np.float32:
+                # f32 rescore source: int8 selection speed, f32 ranking.
+                self.d_emb_f32 = put(jnp.asarray(emb_host))
+            else:
+                self.int8_f32_rescore = False  # needs an f32 source
+                self.d_emb_f32 = None
         else:
             self.d_emb_int8 = None
             self.d_emb_scale = None
@@ -583,7 +598,8 @@ class QueryEngine:
                 select_bank="int8",
                 rescore_bank=(
                     "int8_residual" if self.int8_residual
-                    else "" if self.int8_only else "bf16"
+                    else "" if self.int8_only
+                    else "f32" if self.int8_f32_rescore else "bf16"
                 ),
             )
         elif self.use_pallas:
@@ -664,9 +680,10 @@ class QueryEngine:
         v, i = self._local_select(q_emb, bank, type_mask, top_k, fetch_k)
         if not m:
             return v, i
-        if self.quantize_int8:
+        if self.quantize_int8 and "emb_f32" not in bank:
             rows_fn = lambda ix: self._gather_emb_rows(ix, bank)  # noqa: E731
         else:
+            # float path, or int8_f32_rescore: exact f32 candidate rows
             rows_fn = lambda ix: bank["emb_f32"][ix]  # noqa: E731
         return exact_rescore(q_emb, v, i, rows_fn, top_k)
 

@@ -155,6 +155,34 @@ class TestResolvedKernelConfig:
         assert not co["two_level"] and co["rescore_bank"] == ""
         assert co["rescore_oversample"] == 0
 
+    def test_int8_f32_rescore_mode(self):
+        """Round-5 throughput mode: int8 selection + f32 exact rescore —
+        reported as rescore_bank 'f32' and top-k equal to f32 brute force
+        (the recall-1.0 contract the headline gates on)."""
+        import numpy as np
+
+        from hcrag_tpu.query.engine import QueryEngine
+
+        idx = self._idx(n=4096, d=128)
+        e = QueryEngine(idx, None, quantize_int8=True, int8_rescore=32,
+                        int8_f32_rescore=True, pallas_interpret=True)
+        c = e.resolved_kernel_config(batch=512, top_k=10)
+        assert c["kernel"] == "pallas_int8" and c["two_level"]
+        assert c["rescore_bank"] == "f32"
+        emb = np.asarray(idx.emb, np.float32)
+        embn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((4, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        res = e.query_batch(q, top_k=10)
+        for b in range(4):
+            brute = np.argsort(-(embn @ q[b]), kind="stable")[:10]
+            assert set(res.top_indices[b].tolist()) == set(brute.tolist())
+        # int8_only forbids the f32 bank (density mode) -> flag drops
+        o = QueryEngine(idx, None, quantize_int8=True, int8_only=True,
+                        int8_f32_rescore=True, pallas_interpret=True)
+        assert not o.int8_f32_rescore
+
     def test_xla_fallback_reported(self):
         from hcrag_tpu.query.engine import QueryEngine
 
