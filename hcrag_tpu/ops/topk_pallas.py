@@ -168,6 +168,203 @@ def _packed_two_level_select(
         m[t - 1] = jnp.where(picked, jnp.int32(0), m[t - 1])
 
 
+def _super_insert(
+    packed, m_refs, *, t: int
+):
+    """Streaming per-lane top-T bubble insert of one subtile's packed scores
+    into the supertile's VMEM accumulator planes (`m_refs`, T x [B, 128]
+    int32 scratch that persists across the sequential inner grid axis)."""
+    b, tile_n = packed.shape
+    lanes = 128
+    m = [r[:] for r in m_refs]
+    for g in range(tile_n // lanes):
+        s = packed[:, g * lanes : (g + 1) * lanes]
+        for i in range(t):
+            hi = jnp.maximum(m[i], s)
+            s = jnp.minimum(m[i], s)
+            m[i] = hi
+    for i, r in enumerate(m_refs):
+        r[:] = m[i]
+
+
+def _super_finalize(
+    m_refs, base, vals_ref, idxs_ref, *, k: int, lbits: int, t: int
+):
+    """Level-2 picks over the supertile's accumulator planes, writing the
+    supertile's top-k as ROW-major candidates (vals_ref/idxs_ref are
+    [k_sub, B] — each pick is one contiguous sublane-row store, and the
+    output block is ~k/128 the size of the lane-padded [B, 128] layout).
+    Same promotion scheme as `_packed_two_level_select`, with an
+    `lbits`-wide lane field (supertiles span up to 8192 rows -> 13 bits;
+    score quantization 2^-10 relative, nullified by the exact rescore).
+
+    `k` here is the PICK count — callers pass the full padded block height
+    (k_sub = round_up(true_k, 8)): the extra picks are free write-wise (the
+    block rows exist anyway) and give the merge pool a safety margin
+    against packed-quantization ties at the per-supertile top-k boundary
+    (a true top-k row that quantizes equal to >= (k_sub - true_k + 1)
+    lower-index rows of its supertile would otherwise drop)."""
+    m = [r[:] for r in m_refs]
+    vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
+    idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
+    for j in range(k):
+        best = jnp.max(m[0], axis=1)  # [B]
+        lane = jnp.int32(lbits - 1) - (best & jnp.int32(lbits - 1))
+        val = pltpu.bitcast(
+            (best & jnp.int32(~(lbits - 1)))[:, None], jnp.float32
+        )[:, 0] - 2.0
+        valid = best > 0
+        vals_ref[j, :] = jnp.where(valid, val, NEG_INF)
+        idxs_ref[j, :] = jnp.where(valid, lane + base, -1)
+        picked = m[0] == best[:, None]
+        for i in range(t - 1):
+            m[i] = jnp.where(picked, m[i + 1], m[i])
+        m[t - 1] = jnp.where(picked, jnp.int32(0), m[t - 1])
+
+
+def _super_lane_depth(k: int, spt: int) -> int:
+    """Accumulator planes for the supertile path: one more than the
+    single-tile bound when the supertile spans >= 4 tiles.  A row drops only
+    when > T better rows share its 128-lane column WITHIN ONE SUPERTILE;
+    wider supertiles hold more same-lane rows (64 at the 8192 maximum), so
+    the extra plane cubes the collision odds for ~2 extra VPU ops/group."""
+    return _lane_depth(k) + (1 if spt >= 4 else 0)
+
+
+def _super_select_step(
+    scores, mask_ref, vals_ref, idxs_ref, m_refs, *, k: int, spt: int,
+    lbits: int,
+):
+    """Shared supertile body (float + int8 kernels): encode this subtile's
+    f32 scores into packed (score | lane) ints, fold them into the
+    accumulator planes, and on the supertile's LAST subtile run the level-2
+    picks + the single per-supertile candidate write.
+
+    Why: per-tile level-2 picks and the lane-padded [B, 128] candidate
+    writes are the dominant non-matmul cost at large N (round-4
+    `kernel_stage_attribution_1M_B512`; at 10M rows the per-tile candidate
+    blocks alone are ~5 GB of HBM writes per 512-query sub-batch).  Grouping
+    `spt` subtiles into one supertile divides both by `spt` at the cost of a
+    wider lane field (coarser packed-score quantization — rescore-gated
+    paths only)."""
+    j = pl.program_id(1)
+    sup = pl.program_id(0)
+    b, tile_n = scores.shape
+    t = len(m_refs)
+
+    @pl.when(j == 0)
+    def _init():
+        for r in m_refs:
+            r[:] = jnp.zeros(r.shape, jnp.int32)
+
+    # Encode: same 3-pass scheme as `_topk_tile_kernel_packed`, with the
+    # lane field widened to the SUPERTILE column (j * tile_n + iota).
+    offs_row = jnp.where(mask_ref[0, :] != 0, 2.0, -3.0)[None, :]
+    lane_row = (
+        jnp.int32(lbits - 1)
+        - j * tile_n
+        - jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+    )
+    shifted = scores + offs_row
+    bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~(lbits - 1))
+    packed = bits | lane_row
+    _super_insert(packed, m_refs, t=t)
+
+    @pl.when(j == spt - 1)
+    def _fin():
+        _super_finalize(
+            m_refs, sup * lbits, vals_ref, idxs_ref, k=k, lbits=lbits, t=t
+        )
+
+
+def _topk_tile_kernel_packed_super(
+    q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *m_refs, k: int, spt: int,
+    lbits: int,
+):
+    """Supertile variant of `_topk_tile_kernel_packed`: grid is
+    (num_supertiles, spt); E subtiles stream on the inner axis while the
+    per-lane top-T planes accumulate in scratch; selection + candidate
+    writes happen once per supertile (see `_super_select_step`)."""
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if e_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(e_ref.dtype),
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    _super_select_step(
+        scores, mask_ref, vals_ref, idxs_ref, m_refs, k=k, spt=spt,
+        lbits=lbits,
+    )
+
+
+def _topk_tile_kernel_int8_super(
+    q_ref, q_scale_ref, e_ref, e_scale_ref, mask_ref, vals_ref, idxs_ref,
+    *m_refs, k: int, spt: int, lbits: int,
+):
+    """Supertile variant of the packed int8 kernel."""
+    int_scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = (
+        int_scores.astype(jnp.float32)
+        * q_scale_ref[:, 0][:, None]
+        * e_scale_ref[0, :][None, :]
+    )
+    _super_select_step(
+        scores, mask_ref, vals_ref, idxs_ref, m_refs, k=k, spt=spt,
+        lbits=lbits,
+    )
+
+
+def _merge_super_candidates(vals_t, idxs_t, b, num_super, k_sub, k, merge_k,
+                            *, interpret: bool = False):
+    """Cross-supertile merge of ROW-major candidate blocks.
+
+    Inputs are [num_super * k_sub, b_pad]; every block row is a live pick
+    (the kernel fills the full k_sub block — see `_super_finalize`).
+    Transposes slot-major ([b, k_sub, num_super] — same lane-spread
+    argument as `_merge_tile_candidates`) and runs the packed candidate
+    merge for large pools / `lax.top_k` for small ones."""
+    v = vals_t.reshape(num_super, k_sub, -1)   # [S, k_sub, b_pad]
+    i = idxs_t.reshape(num_super, k_sub, -1)
+    v = jnp.transpose(v, (2, 1, 0))[:b].reshape(b, -1)  # [b, k_sub * S]
+    i = jnp.transpose(i, (2, 1, 0))[:b].reshape(b, -1)
+    out_k = min(max(k, merge_k), num_super * k_sub)
+    if out_k <= 128 and b <= 512 and num_super * k_sub >= 2 * 2048:
+        return _packed_candidate_merge(v, i, out_k, interpret)
+    out_v, pos = jax.lax.top_k(v, out_k)
+    out_i = jnp.take_along_axis(i, pos, axis=1)
+    return out_v, out_i
+
+
+def _resolve_super_tiles(super_tiles: int, tile_n: int, n_pad_tiles: int,
+                         two_level: bool, packed_select: bool) -> int:
+    """Clamp a requested supertile factor to a legal, useful power of two.
+
+    Supertiles require the packed two-level path (the accumulator planes ARE
+    the level-1 reduction) and an lbits = spt * tile_n lane field <= 8192
+    (13 bits stolen from the f32 mantissa -> 2^-10 relative score
+    quantization, acceptable only under an exact rescore — callers gate).
+    Also clamped to the tile count so tiny indexes don't pay padding."""
+    if super_tiles <= 1 or not (two_level and packed_select):
+        return 1
+    spt = 1 << (int(super_tiles).bit_length() - 1)  # floor power of two
+    while spt > 1 and spt * tile_n > 8192:
+        spt //= 2
+    while spt > 1 and spt > n_pad_tiles:
+        spt //= 2
+    return spt
+
+
 def _use_two_level(k: int, tile_n: int) -> bool:
     """Two-level selection pays off while k x full-width passes dominate the
     streamed per-lane reduction, and stays accurate while k <= 128 at the
@@ -358,7 +555,7 @@ def _topk_tile_kernel_int8(
     jax.jit,
     static_argnames=(
         "top_k", "tile_n", "interpret", "packed_select", "merge_k",
-        "two_level",
+        "two_level", "super_tiles",
     ),
 )
 def pallas_cosine_top_k_int8(
@@ -373,6 +570,7 @@ def pallas_cosine_top_k_int8(
     packed_select: bool = False,
     merge_k: int = 0,
     two_level: bool | None = None,
+    super_tiles: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused int8 cosine + top-k (see `_topk_tile_kernel_int8`).
 
@@ -402,6 +600,65 @@ def pallas_cosine_top_k_int8(
         " candidate width or use the streaming XLA path"
     )
 
+    tl = _resolve_two_level(two_level, k, tile_n)
+    spt = _resolve_super_tiles(
+        super_tiles, tile_n, -(-n // tile_n), tl, packed_select
+    )
+    if spt > 1:
+        lbits = spt * tile_n
+        n_pad = _round_up(n, lbits)
+        if n_pad != n:
+            e_int8 = jnp.pad(e_int8, ((0, n_pad - n), (0, 0)))
+            e_scale = jnp.pad(e_scale, (0, n_pad - n))
+            valid_mask = jnp.pad(valid_mask, (0, n_pad - n))
+        num_super = n_pad // lbits
+        mask_2d = valid_mask.astype(jnp.int32).reshape(1, n_pad)
+        scale_2d = e_scale.astype(jnp.float32).reshape(1, n_pad)
+        b_pad = _round_up(b, 128)  # candidate blocks are [k_sub, B]: B lanes
+        if b_pad != b:
+            query_emb = jnp.pad(query_emb, ((0, b_pad - b), (0, 0)))
+        qi, qs = quantize_queries(query_emb.astype(jnp.float32))
+        k_sub = _round_up(k, 8)
+        if merge_k > num_super * k_sub:  # small-pool oversample (see below)
+            k_sub = min(128, _round_up(-(-merge_k // num_super), 8))
+        kernel = functools.partial(
+            _topk_tile_kernel_int8_super, k=k_sub, spt=spt, lbits=lbits,
+        )
+        vals, idxs = pl.pallas_call(
+            kernel,
+            grid=(num_super, spt),
+            in_specs=[
+                pl.BlockSpec((b_pad, d), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_pad, 1), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d), lambda i, j: (i * spt + j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda i, j: (0, i * spt + j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda i, j: (0, i * spt + j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((k_sub, b_pad), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_sub, b_pad), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_super * k_sub, b_pad), jnp.float32),
+                jax.ShapeDtypeStruct((num_super * k_sub, b_pad), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b_pad, 128), jnp.int32)
+                for _ in range(_super_lane_depth(k, spt))
+            ],
+            interpret=interpret,
+        )(qi, qs.reshape(b_pad, 1), e_int8, scale_2d, mask_2d)
+        return _merge_super_candidates(
+            vals, idxs, b, num_super, k_sub, k, merge_k, interpret=interpret
+        )
+
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
         e_int8 = jnp.pad(e_int8, ((0, n_pad - n), (0, 0)))
@@ -416,9 +673,13 @@ def pallas_cosine_top_k_int8(
         query_emb = jnp.pad(query_emb, ((0, b_pad - b), (0, 0)))
     qi, qs = quantize_queries(query_emb.astype(jnp.float32))
 
+    if packed_select and merge_k > k and num_tiles * k < merge_k:
+        # Small-pool oversample (see the float wrapper): packed quantization
+        # ties at the top-k boundary need rescore-pool coverage >= merge_k.
+        k = min(k_pad, tile_n, -(-merge_k // num_tiles))
     kernel = functools.partial(
         _topk_tile_kernel_int8, k=k, k_pad=k_pad, packed=packed_select,
-        two_level=_resolve_two_level(two_level, k, tile_n),
+        two_level=tl,
     )
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
@@ -569,7 +830,7 @@ def _merge_tile_candidates(
     jax.jit,
     static_argnames=(
         "top_k", "tile_n", "interpret", "packed_select", "merge_k",
-        "two_level",
+        "two_level", "super_tiles",
     ),
 )
 def pallas_cosine_top_k(
@@ -583,6 +844,7 @@ def pallas_cosine_top_k(
     packed_select: bool = False,
     merge_k: int = 0,
     two_level: bool | None = None,
+    super_tiles: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused cosine + top-k over a (normalized) index.
 
@@ -601,6 +863,12 @@ def pallas_cosine_top_k(
       two_level: packed-path tile-reduction strategy (None = auto when
         shape-feasible; False = exhaustive k-pass loop).  Pass False unless
         an exact rescore follows — see `_resolve_two_level`.
+      super_tiles: group this many tiles into one SUPERTILE (packed
+        two-level paths only; auto-clamped, see `_resolve_super_tiles`).
+        Level-2 picks + candidate writes run once per supertile instead of
+        once per tile — the dominant non-matmul cost at large N — at the
+        cost of a wider packed lane field (2^-10 relative score rounding at
+        the 8192-row maximum).  Only for rescore-gated callers.
 
     Returns (values [B, k] f32, indices [B, k] int32), descending, ties to
     the lowest index.
@@ -614,6 +882,63 @@ def pallas_cosine_top_k(
         " beyond 128 per tile would silently truncate — raise tile"
         " candidate width or use the streaming XLA path"
     )
+
+    tl_super = _resolve_two_level(two_level, k, tile_n)
+    spt = _resolve_super_tiles(
+        super_tiles, tile_n, -(-n // tile_n), tl_super, packed_select
+    )
+    if spt > 1:
+        lbits = spt * tile_n
+        n_pad = _round_up(n, lbits)
+        if n_pad != n:
+            index_emb = jnp.pad(index_emb, ((0, n_pad - n), (0, 0)))
+            valid_mask = jnp.pad(valid_mask, (0, n_pad - n))
+        num_super = n_pad // lbits
+        mask_2d = valid_mask.astype(jnp.int32).reshape(1, n_pad)
+        b_pad = _round_up(b, 128)  # candidate blocks are [k_sub, B]: B lanes
+        if b_pad != b:
+            query_emb = jnp.pad(query_emb, ((0, b_pad - b), (0, 0)))
+        if index_emb.dtype == jnp.bfloat16:
+            query_emb = query_emb.astype(jnp.bfloat16)
+        k_sub = _round_up(k, 8)
+        if merge_k > num_super * k_sub:
+            # Small-pool oversample: packed quantization ties at the top-k
+            # boundary need rescore-pool coverage >= merge_k (see the
+            # non-super packed branch).
+            k_sub = min(128, _round_up(-(-merge_k // num_super), 8))
+        kernel = functools.partial(
+            _topk_tile_kernel_packed_super, k=k_sub, spt=spt, lbits=lbits,
+        )
+        vals, idxs = pl.pallas_call(
+            kernel,
+            grid=(num_super, spt),
+            in_specs=[
+                pl.BlockSpec((b_pad, d), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, d), lambda i, j: (i * spt + j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda i, j: (0, i * spt + j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((k_sub, b_pad), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_sub, b_pad), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((num_super * k_sub, b_pad), jnp.float32),
+                jax.ShapeDtypeStruct((num_super * k_sub, b_pad), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b_pad, 128), jnp.int32)
+                for _ in range(_super_lane_depth(k, spt))
+            ],
+            interpret=interpret,
+        )(query_emb, index_emb, mask_2d)
+        return _merge_super_candidates(
+            vals, idxs, b, num_super, k_sub, k, merge_k, interpret=interpret
+        )
 
     n_pad = _round_up(n, tile_n)
     if n_pad != n:
@@ -635,10 +960,20 @@ def pallas_cosine_top_k(
 
     assert not (packed_select and tile_n > 2048), "packed lane field is 11 bits"
     if packed_select:
+        # Packed scores quantize (~2^-12 relative): a top-k-boundary near-tie
+        # can resolve by index order instead of true score.  The exact
+        # rescore absorbs that ONLY if the candidate pool oversamples — at
+        # few tiles (small indexes) num_tiles*k can undercut merge_k, so
+        # raise the per-tile pick count until the pool covers merge_k
+        # (cheap exactly where tiles are few).
+        k_tile = k
+        if merge_k > k and num_tiles * k < merge_k:
+            k_tile = min(k_pad, tile_n, -(-merge_k // num_tiles))
         kernel = functools.partial(
-            _topk_tile_kernel_packed, k=k, k_pad=k_pad,
-            two_level=_resolve_two_level(two_level, k, tile_n),
+            _topk_tile_kernel_packed, k=k_tile, k_pad=k_pad,
+            two_level=tl_super,
         )
+        k = k_tile
     else:
         kernel = functools.partial(_topk_tile_kernel, k=k, k_pad=k_pad)
     grid_spec = pl.GridSpec(

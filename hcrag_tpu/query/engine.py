@@ -116,6 +116,7 @@ class QueryEngine:
         int8_rescore: int = 0,
         int8_f32_rescore: bool = False,
         exact_rescore: int = 0,
+        pallas_super: int = 0,
         pallas_interpret: Optional[bool] = None,
     ):
         self.index = index
@@ -150,6 +151,15 @@ class QueryEngine:
             use_pallas = False  # the f32/bf16 kernel has no int8 operands
         self.use_pallas = use_pallas
         self.pallas_tile_n = pallas_tile_n
+        #: Supertile factor for the packed rescore-gated kernels (round 5):
+        #: 0 = auto (group tiles into 8192-row supertiles), 1 = off, else an
+        #: explicit subtiles-per-supertile request.  Level-2 selection picks
+        #: and per-tile candidate writes — the dominant non-matmul costs at
+        #: large N (round-4 `kernel_stage_attribution_1M_B512`; ~5 GB of
+        #: candidate writes per 512-query sub-batch at 10M rows) — run once
+        #: per supertile instead of once per tile.  Only ever applied where
+        #: an exact rescore follows (the packed paths' existing contract).
+        self.pallas_super = int(pallas_super)
         self.quantize_int8 = quantize_int8
         #: Quantized-recall refinement: the int8 kernel selects an
         #: oversampled candidate set (`int8_rescore` per query), then the
@@ -244,15 +254,43 @@ class QueryEngine:
     # ------------------------------------------------------------------
     # Bank construction (overridden by the sharded engine)
     # ------------------------------------------------------------------
+    def _super_request(self, tile: int, batch: int) -> int:
+        """Supertile factor to REQUEST from the kernel for this call shape
+        (the kernel clamps further against tile count / feasibility).
+        Auto mode targets the 8192-row maximum supertile.  Off for small
+        batches: the supertile candidate layout is [k_sub, B] (B on lanes),
+        so b pads to 128 — wasted matmul work below that."""
+        if self.pallas_super == 1 or batch < 64:
+            return 1
+        if self.pallas_super > 1:
+            return self.pallas_super
+        return max(1, 8192 // tile)
+
+    def _super_pad_multiple(self, tile: int) -> int:
+        """Pad multiple covering the supertile the kernel will resolve for
+        this bank: spt * tile where spt mirrors `_resolve_super_tiles`'
+        clamps (8192-row cap, tile-count cap) — so the bank divides evenly
+        (no per-call jnp.pad copy) and tiny indexes aren't inflated."""
+        n = int(np.asarray(self.index.emb).shape[0])
+        spt = min(max(1, 8192 // tile), max(1, -(-n // tile)))
+        spt = 1 << (spt.bit_length() - 1)  # floor power of two
+        return spt * tile
+
     def _row_pad_multiple(self) -> int:
         """Row-axis padding multiple for the device bank.  Pallas paths
         pre-pad to the tile size once at init so the kernels never pad per
         call (an internal jnp.pad would copy the whole bank inside every
-        compiled step).  The sharded engine multiplies this by the shard
-        count so every shard's local block stays tile-aligned."""
+        compiled step); rescore-gated paths pad to the supertile width (up
+        to 8192 rows) so any legal (tile, super) choice divides the bank.
+        The sharded engine multiplies this by the shard count so every
+        shard's local block stays tile-aligned."""
         if self.use_pallas:
+            if self.exact_rescore and self.pallas_super != 1:
+                return self._super_pad_multiple(min(self.pallas_tile_n, 2048))
             return self.pallas_tile_n
         if self._int8_pallas:
+            if self.int8_rescore and self.pallas_super != 1:
+                return self._super_pad_multiple(min(self.pallas_tile_n, 2048))
             return min(self.pallas_tile_n, 2048)  # packed lane field: 11 bits
         return 1
 
@@ -456,11 +494,12 @@ class QueryEngine:
             # — the rescore runs whenever configured, including top_k >=
             # the oversample where merge_k stays 0).
             two_level = packed
+            spt = self._super_request(tile, sub_b) if packed else 1
             if b <= sub_b:
                 return pallas_cosine_top_k(
                     q_emb, emb, type_mask, top_k, tile_n=tile,
                     merge_k=merge_k, packed_select=packed, interpret=interp,
-                    two_level=two_level,
+                    two_level=two_level, super_tiles=spt,
                 )
             pad_b = (-b) % sub_b
             q_padded = (
@@ -471,7 +510,7 @@ class QueryEngine:
                 lambda qc: pallas_cosine_top_k(
                     qc, emb, type_mask, top_k, tile_n=tile,
                     merge_k=merge_k, packed_select=packed, interpret=interp,
-                    two_level=two_level,
+                    two_level=two_level, super_tiles=spt,
                 ),
                 q_chunks,
             )
@@ -521,11 +560,13 @@ class QueryEngine:
                 # true top-k row, so int8-only mode keeps the exhaustive
                 # k-pass packed loop (quantization noise only).
                 two_level = self.int8_rescore > 0
+                spt = self._super_request(tile, sub_b) if two_level else 1
                 if b <= sub_b:
                     return pallas_cosine_top_k_int8(
                         q_emb, e8, bank["emb_scale"], type_mask, top_k,
                         tile_n=tile, packed_select=True, merge_k=merge_k,
                         interpret=interp, two_level=two_level,
+                        super_tiles=spt,
                     )
                 pad_b = (-b) % sub_b
                 q_padded = (
@@ -537,6 +578,7 @@ class QueryEngine:
                         qc, e8, bank["emb_scale"], type_mask, top_k,
                         tile_n=tile, packed_select=True, merge_k=merge_k,
                         interpret=interp, two_level=two_level,
+                        super_tiles=spt,
                     ),
                     q_chunks,
                 )
@@ -584,6 +626,9 @@ class QueryEngine:
             "rescore_oversample": m,
             "merge_k": merge_k,
         }
+        from hcrag_tpu.ops.topk_pallas import _resolve_super_tiles
+
+        n_rows = int(np.asarray(self.index.emb).shape[0])
         if self.quantize_int8 and self._int8_pallas:
             sub_b = min(batch, 512)
             d = self.index.dim
@@ -592,9 +637,15 @@ class QueryEngine:
                 8 * sub_b * tile + sub_b * d + 2 * tile * d + 16 * sub_b * 128
             ) > (10 << 20):
                 tile //= 2
+            tl = self.int8_rescore > 0
+            spt = _resolve_super_tiles(
+                self._super_request(tile, sub_b) if tl else 1,
+                tile, -(-n_rows // tile), tl, True,
+            )
             out.update(
                 kernel="pallas_int8", packed_select=True,
                 two_level=self.int8_rescore > 0, tile_n=tile, sub_batch=sub_b,
+                super_tiles=spt,
                 select_bank="int8",
                 rescore_bank=(
                     "int8_residual" if self.int8_residual
@@ -623,9 +674,14 @@ class QueryEngine:
 
             while tile > 512 and footprint(tile) > budget:
                 tile //= 2
+            spt = _resolve_super_tiles(
+                self._super_request(tile, sub_b) if packed else 1,
+                tile, -(-n_rows // tile), packed, packed,
+            )
             out.update(
                 kernel="pallas_float", packed_select=packed,
                 two_level=packed, tile_n=tile, sub_batch=sub_b,
+                super_tiles=spt,
                 select_bank=str(np.asarray(self.index.emb).dtype),
                 rescore_bank="f32" if self.exact_rescore else "",
             )

@@ -189,3 +189,110 @@ class TestResolvedKernelConfig:
         e = QueryEngine(self._idx(d=100), None)  # dim % 128 != 0 -> XLA
         c = e.resolved_kernel_config(batch=64, top_k=10)
         assert c["kernel"].startswith("xla_streaming")
+
+
+class TestSuperTiles:
+    """Round-5 supertile selection: level-2 picks + candidate writes once
+    per supertile (up to 8192 rows) instead of once per tile — the
+    rescore-gated packed paths only.  Pinned here: kernel-level top-k
+    containment across supertile factors, the engine auto-resolution, and
+    the tiny-index / small-batch clamps."""
+
+    def _qe(self, n=5000, d=128, b=16, seed=0):
+        rng = np.random.default_rng(seed)
+        e = rng.standard_normal((n, d)).astype(np.float32)
+        e /= np.linalg.norm(e, axis=1, keepdims=True)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        return q, e
+
+    def test_kernel_containment_all_factors(self):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k
+
+        q, e = self._qe()
+        n, k = e.shape[0], 10
+        mask = np.ones(n, bool)
+        mask[100:200] = False
+        s = q @ e.T
+        s[:, 100:200] = -np.inf
+        ref = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        for spt in (1, 2, 4, 8):
+            v, i = pallas_cosine_top_k(
+                jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), k,
+                tile_n=512, interpret=True, packed_select=True, merge_k=32,
+                two_level=True, super_tiles=spt,
+            )
+            pool = np.asarray(i)
+            for r in range(q.shape[0]):
+                assert set(ref[r]) <= set(pool[r].tolist()), (spt, r)
+                assert not (set(pool[r].tolist()) & set(range(100, 200)))
+
+    def test_int8_supertile_containment(self):
+        import jax.numpy as jnp
+
+        from hcrag_tpu.ops.quantize import quantize_rows
+        from hcrag_tpu.ops.topk_pallas import pallas_cosine_top_k_int8
+
+        q, e = self._qe(seed=2)
+        e8, sc = quantize_rows(e)
+        n, k = e.shape[0], 10
+        mask = np.ones(n, bool)
+        ref = np.argsort(-(q @ e.T), axis=1, kind="stable")[:, :k]
+        for spt in (1, 8):
+            v, i = pallas_cosine_top_k_int8(
+                jnp.asarray(q), jnp.asarray(e8), jnp.asarray(sc),
+                jnp.asarray(mask), k, tile_n=512, interpret=True,
+                packed_select=True, merge_k=32, two_level=True,
+                super_tiles=spt,
+            )
+            pool = np.asarray(i)
+            hits = np.mean(
+                [len(set(pool[r]) & set(ref[r])) / k for r in range(q.shape[0])]
+            )
+            assert hits >= 0.95, (spt, hits)  # int8 selection noise only
+
+    def test_engine_auto_super_and_recall(self):
+        from hcrag_tpu.query.engine import QueryEngine
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        idx = synthetic_dense_index(20000, 128, seed=3)
+        emb = np.asarray(idx.emb, np.float32)
+        rng = np.random.default_rng(1)
+        q = rng.standard_normal((128, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        ref = np.argsort(-(q @ emb.T), axis=1, kind="stable")[:, :10]
+        e = QueryEngine(idx, None, use_pallas=True, exact_rescore=32,
+                        pallas_interpret=True)
+        c = e.resolved_kernel_config(128, 10)
+        assert c["super_tiles"] > 1  # auto engages on rescored path
+        # bank pre-padded to the supertile width (no per-call jnp.pad copy)
+        assert e.d_emb.shape[0] % (c["super_tiles"] * c["tile_n"]) == 0
+        res = e.query_batch(q, top_k=10)
+        for r in range(128):
+            assert set(res.top_indices[r].tolist()) == set(ref[r].tolist())
+
+    def test_super_clamps(self):
+        from hcrag_tpu.ops.topk_pallas import _resolve_super_tiles
+        from hcrag_tpu.query.engine import QueryEngine
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        # non-two-level / non-packed paths never supertile
+        assert _resolve_super_tiles(8, 1024, 100, False, True) == 1
+        assert _resolve_super_tiles(8, 1024, 100, True, False) == 1
+        # lbits cap: spt * tile_n <= 8192
+        assert _resolve_super_tiles(8, 2048, 100, True, True) == 4
+        # tile-count clamp
+        assert _resolve_super_tiles(8, 1024, 2, True, True) == 2
+        # tiny index: engine reports spt 1 and does not inflate the bank
+        idx = synthetic_dense_index(585, 128, seed=4)
+        e = QueryEngine(idx, None, use_pallas=True, exact_rescore=32,
+                        pallas_interpret=True)
+        assert e.resolved_kernel_config(512, 10)["super_tiles"] == 1
+        assert e.d_emb.shape[0] <= 2048
+        # small batches skip the supertile layout (b pads to 128 lanes)
+        big = synthetic_dense_index(20000, 128, seed=5)
+        eb = QueryEngine(big, None, use_pallas=True, exact_rescore=32,
+                         pallas_interpret=True)
+        assert eb.resolved_kernel_config(8, 10)["super_tiles"] == 1
