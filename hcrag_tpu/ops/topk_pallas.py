@@ -203,12 +203,17 @@ def _super_finalize(
     block rows exist anyway) and give the merge pool a safety margin
     against packed-quantization ties at the per-supertile top-k boundary
     (a true top-k row that quantizes equal to >= (k_sub - true_k + 1)
-    lower-index rows of its supertile would otherwise drop)."""
-    m = [r[:] for r in m_refs]
+    lower-index rows of its supertile would otherwise drop).
+
+    Plane promotion goes through the SCRATCH REFS (read-modify-write per
+    pick) rather than SSA value chains: unrolled where-chains over live
+    values pile up Mosaic stack temporaries (the round-4 k=100 OOM), and
+    the refs bound the live set to the planes themselves."""
     vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
     idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
     for j in range(k):
-        best = jnp.max(m[0], axis=1)  # [B]
+        m0 = m_refs[0][:]
+        best = jnp.max(m0, axis=1)  # [B]
         lane = jnp.int32(lbits - 1) - (best & jnp.int32(lbits - 1))
         val = pltpu.bitcast(
             (best & jnp.int32(~(lbits - 1)))[:, None], jnp.float32
@@ -216,10 +221,10 @@ def _super_finalize(
         valid = best > 0
         vals_ref[j, :] = jnp.where(valid, val, NEG_INF)
         idxs_ref[j, :] = jnp.where(valid, lane + base, -1)
-        picked = m[0] == best[:, None]
+        picked = m0 == best[:, None]
         for i in range(t - 1):
-            m[i] = jnp.where(picked, m[i + 1], m[i])
-        m[t - 1] = jnp.where(picked, jnp.int32(0), m[t - 1])
+            m_refs[i][:] = jnp.where(picked, m_refs[i + 1][:], m_refs[i][:])
+        m_refs[t - 1][:] = jnp.where(picked, jnp.int32(0), m_refs[t - 1][:])
 
 
 def _super_lane_depth(k: int, spt: int) -> int:

@@ -495,6 +495,14 @@ class QueryEngine:
             # the oversample where merge_k stays 0).
             two_level = packed
             spt = self._super_request(tile, sub_b) if packed else 1
+            if spt > 1:
+                # Supertiles amortize the per-tile costs, so small subtiles
+                # are free — and the [sub_b, tile] score + packed buffers
+                # (8 bytes/elem) plus the accumulator scratch must fit
+                # beside the E tile under the 16 MB scoped-VMEM limit
+                # (tile 2048 + supertile extras measured 16.44 MB: OOM).
+                tile = min(tile, 1024)
+                spt = self._super_request(tile, sub_b)
             if b <= sub_b:
                 return pallas_cosine_top_k(
                     q_emb, emb, type_mask, top_k, tile_n=tile,
@@ -659,7 +667,10 @@ class QueryEngine:
             if packed and top_k > 48:
                 sub_b = min(sub_b, 256)  # mirrors _step's Mosaic-stack guard
             d = self.index.dim
-            ebytes = np.dtype(np.asarray(self.index.emb).dtype).itemsize
+            # DEVICE bank dtype (exact_rescore drops the kernel bank to
+            # bf16) — the footprint/tile resolution and the select_bank
+            # label must describe what actually runs, not the host array.
+            ebytes = np.dtype(self.d_emb.dtype).itemsize
             tile = self.pallas_tile_n
             if packed:
                 tile = min(tile, 2048)
@@ -674,15 +685,20 @@ class QueryEngine:
 
             while tile > 512 and footprint(tile) > budget:
                 tile //= 2
+            spt = 1
+            if packed:
+                spt = self._super_request(tile, sub_b)
+                if spt > 1:
+                    tile = min(tile, 1024)  # mirrors _local_select
+                    spt = self._super_request(tile, sub_b)
             spt = _resolve_super_tiles(
-                self._super_request(tile, sub_b) if packed else 1,
-                tile, -(-n_rows // tile), packed, packed,
+                spt, tile, -(-n_rows // tile), packed, packed,
             )
             out.update(
                 kernel="pallas_float", packed_select=packed,
                 two_level=packed, tile_n=tile, sub_batch=sub_b,
                 super_tiles=spt,
-                select_bank=str(np.asarray(self.index.emb).dtype),
+                select_bank=str(self.d_emb.dtype),
                 rescore_bank="f32" if self.exact_rescore else "",
             )
         else:
