@@ -118,6 +118,10 @@ def main():
         ("int8f32_auto", dict(quantize_int8=True, int8_rescore=32,
                               int8_f32_rescore=True)),
     ]
+    sel = os.environ.get("R5_VARIANTS")
+    if sel:
+        names = set(sel.split(","))
+        variants = [v for v in variants if v[0] in names]
     for name, kw in variants:
         t0 = time.time()
         eng = QueryEngine(index, graph, ell_max_degree=8, **kw)
@@ -128,8 +132,13 @@ def main():
             sweep[f"{name}_b{B}"] = measure(eng, B)
         del eng
 
+    prior = {
+        k: v for k, v in data.get("synthetic_1M_super_sweep_r5", {}).items()
+        if k != "note"
+    }
+    prior.update(sweep)
     data["synthetic_1M_super_sweep_r5"] = dict(
-        sweep,
+        prior,
         note=(
             "Round-5 kernel levers at 1M: supertile selection (level-2 "
             "picks + candidate writes once per <=8192-row supertile, "
@@ -161,7 +170,9 @@ def main():
             packed_select=True, merge_k=32, two_level=True, super_tiles=spt,
         )
         pts = []
-        for n_fit in (131072, 262144, 524288, 1048576):
+        # Sizes are multiples of 8192 (the super4 lane width) and <= the 1M
+        # host index, so no in-call pad copy pollutes the fit.
+        for n_fit in (131072, 262144, 524288, 999424):
             d_e = jax.device_put(jnp.asarray(
                 emb_f32[:n_fit].astype(ml_dtypes.bfloat16)))
             d_m = jax.device_put(jnp.ones(n_fit, bool))

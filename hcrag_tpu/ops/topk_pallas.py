@@ -344,7 +344,11 @@ def _merge_super_candidates(vals_t, idxs_t, b, num_super, k_sub, k, merge_k,
     v = jnp.transpose(v, (2, 1, 0))[:b].reshape(b, -1)  # [b, k_sub * S]
     i = jnp.transpose(i, (2, 1, 0))[:b].reshape(b, -1)
     out_k = min(max(k, merge_k), num_super * k_sub)
-    if out_k <= 128 and b <= 512 and num_super * k_sub >= 2 * 2048:
+    # Packed-merge threshold is LOWER than `_merge_tile_candidates`' (2*2048):
+    # supertile pools are ~num_tiles*k/8 the per-tile pool, and the XLA sort
+    # over even a [512, ~2k] pool costs ~2 ms/sub-batch — the packed VPU
+    # merge does the same selection in a fraction.
+    if out_k <= 128 and b <= 512 and num_super * k_sub >= 1024:
         return _packed_candidate_merge(v, i, out_k, interpret)
     out_v, pos = jax.lax.top_k(v, out_k)
     out_i = jnp.take_along_axis(i, pos, axis=1)
