@@ -257,13 +257,22 @@ class QueryEngine:
     def _super_request(self, tile: int, batch: int) -> int:
         """Supertile factor to REQUEST from the kernel for this call shape
         (the kernel clamps further against tile count / feasibility).
-        Auto mode targets the 8192-row maximum supertile.  Off for small
-        batches: the supertile candidate layout is [k_sub, B] (B on lanes),
-        so b pads to 128 — wasted matmul work below that."""
+        Auto mode targets the 8192-row maximum supertile — but only for
+        LARGE banks (>= 2M rows): measured at 1M the mechanism loses
+        (extra accumulator plane + scratch traffic ~+3.5 ms/sub-batch
+        against pick/write savings that XLA mostly overlaps at that size:
+        39.7k vs 61.2k QPS, results.json synthetic_1M_super_sweep_r5),
+        while at 10M the per-tile candidate blocks are ~5 GB of
+        unoverlappable HBM writes per 512-query sub-batch and supertiles
+        cut them 64x.  Off for small batches: the supertile candidate
+        layout is [k_sub, B] (B on lanes), so b pads to 128 — wasted
+        matmul work below that."""
         if self.pallas_super == 1 or batch < 64:
             return 1
         if self.pallas_super > 1:
             return self.pallas_super
+        if self._n_rows < (2 << 20):
+            return 1
         return max(1, 8192 // tile)
 
     def _super_pad_multiple(self, tile: int) -> int:

@@ -253,7 +253,7 @@ class TestSuperTiles:
             )
             assert hits >= 0.95, (spt, hits)  # int8 selection noise only
 
-    def test_engine_auto_super_and_recall(self):
+    def test_engine_super_and_recall(self):
         from hcrag_tpu.query.engine import QueryEngine
         from hcrag_tpu.utils.synthetic import synthetic_dense_index
 
@@ -263,10 +263,12 @@ class TestSuperTiles:
         q = rng.standard_normal((128, 128)).astype(np.float32)
         q /= np.linalg.norm(q, axis=1, keepdims=True)
         ref = np.argsort(-(q @ emb.T), axis=1, kind="stable")[:, :10]
+        # Auto only engages at >= 2M rows (measured: loses below that);
+        # explicit pallas_super forces it for this small-index parity check.
         e = QueryEngine(idx, None, use_pallas=True, exact_rescore=32,
-                        pallas_interpret=True)
+                        pallas_super=8, pallas_interpret=True)
         c = e.resolved_kernel_config(128, 10)
-        assert c["super_tiles"] > 1  # auto engages on rescored path
+        assert c["super_tiles"] > 1
         # bank pre-padded to the supertile width (no per-call jnp.pad copy)
         assert e.d_emb.shape[0] % (c["super_tiles"] * c["tile_n"]) == 0
         res = e.query_batch(q, top_k=10)
