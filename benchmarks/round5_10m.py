@@ -75,10 +75,13 @@ def main():
     eng = QueryEngine(
         index, None, quantize_int8=True, int8_residual=True, int8_rescore=32,
     )
-    # Quantization done on host inside init; free the f32 copy pressure.
+    # Force residency with tiny readbacks (NOTES round-2).  No reshape(-1):
+    # a flattened [10M, 384] bank is > 2^31 elements and overflows the
+    # jitted gather's int32 indexing.
     for a in (eng.d_emb_int8, eng.d_emb_scale, eng.d_emb_res8,
               eng.d_emb_res_scale):
-        np.asarray(jnp.sum(a.reshape(-1)[-8:].astype(jnp.float32)))
+        x = a[-8:] if a.ndim == 1 else a[-8:, -1]
+        np.asarray(jnp.sum(x.astype(jnp.float32)))
     log(f"engine init + residency {time.time()-t0:.1f}s; resolved "
         f"{json.dumps(eng.resolved_kernel_config(2048, K))}")
 
