@@ -207,15 +207,17 @@ def main():
     )
     with open(RESULTS, "w") as f:
         json.dump(data, f, indent=2)
-    best_name = max(sweep, key=lambda k: sweep[k]["qps"])
-    print(json.dumps({
-        "best": best_name,
-        "best_qps": sweep[best_name]["qps"],
+    out = {
         "slope_super4_ms_per_1M":
             fits["super4"]["fit_device_ms_per_1M_rows"],
         "slope_super1_ms_per_1M":
             fits["super1"]["fit_device_ms_per_1M_rows"],
-    }))
+    }
+    if sweep:
+        best_name = max(sweep, key=lambda k: sweep[k]["qps"])
+        out["best"] = best_name
+        out["best_qps"] = sweep[best_name]["qps"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
