@@ -152,13 +152,9 @@ class QueryEngine:
         self.use_pallas = use_pallas
         self.pallas_tile_n = pallas_tile_n
         #: Supertile factor for the packed rescore-gated kernels (round 5):
-        #: 0 = auto (group tiles into 8192-row supertiles), 1 = off, else an
-        #: explicit subtiles-per-supertile request.  Level-2 selection picks
-        #: and per-tile candidate writes — the dominant non-matmul costs at
-        #: large N (round-4 `kernel_stage_attribution_1M_B512`; ~5 GB of
-        #: candidate writes per 512-query sub-batch at 10M rows) — run once
-        #: per supertile instead of once per tile.  Only ever applied where
-        #: an exact rescore follows (the packed paths' existing contract).
+        #: level-2 picks + candidate writes once per spt-tile supertile.
+        #: MEASURED to lose at both 1M and 10M (see `_super_request`), so
+        #: 0 (auto) never engages it; > 1 forces the path explicitly.
         self.pallas_super = int(pallas_super)
         self.quantize_int8 = quantize_int8
         #: Quantized-recall refinement: the int8 kernel selects an
@@ -257,23 +253,22 @@ class QueryEngine:
     def _super_request(self, tile: int, batch: int) -> int:
         """Supertile factor to REQUEST from the kernel for this call shape
         (the kernel clamps further against tile count / feasibility).
-        Auto mode targets the 8192-row maximum supertile — but only for
-        LARGE banks (>= 2M rows): measured at 1M the mechanism loses
-        (extra accumulator plane + scratch traffic ~+3.5 ms/sub-batch
-        against pick/write savings that XLA mostly overlaps at that size:
-        39.7k vs 61.2k QPS, results.json synthetic_1M_super_sweep_r5),
-        while at 10M the per-tile candidate blocks are ~5 GB of
-        unoverlappable HBM writes per 512-query sub-batch and supertiles
-        cut them 64x.  Off for small batches: the supertile candidate
-        layout is [k_sub, B] (B on lanes), so b pads to 128 — wasted
-        matmul work below that."""
-        if self.pallas_super == 1 or batch < 64:
-            return 1
-        if self.pallas_super > 1:
+        MEASURED RESULT (round 5): the mechanism loses at every size —
+        39.7k vs 61.2k QPS at 1M and 4.9k vs 7.3k at 10M (results.json
+        synthetic_1M_super_sweep_r5 and
+        synthetic_10M_one_chip_int8_residual._super_attempt_r5).  The
+        per-subtile scratch read-modify-write plus the extra accumulator
+        plane cost ~3.7 us/subtile, scaling with tile count, while the
+        per-tile candidate writes it saves turn out fully overlapped by
+        the output DMA even at 10M.  Auto therefore NEVER engages;
+        explicit `pallas_super > 1` still forces the path (tested, recall
+        holds under the exact rescore) for future hardware where the
+        write/compute balance differs.  Off for small batches regardless:
+        the supertile candidate layout is [k_sub, B] (B on lanes), so b
+        pads to 128 — wasted matmul work below that."""
+        if self.pallas_super > 1 and batch >= 64:
             return self.pallas_super
-        if self._n_rows < (2 << 20):
-            return 1
-        return max(1, 8192 // tile)
+        return 1
 
     def _super_pad_multiple(self, tile: int) -> int:
         """Pad multiple covering the supertile the kernel will resolve for
@@ -294,11 +289,11 @@ class QueryEngine:
         The sharded engine multiplies this by the shard count so every
         shard's local block stays tile-aligned."""
         if self.use_pallas:
-            if self.exact_rescore and self.pallas_super != 1:
+            if self.exact_rescore and self.pallas_super > 1:
                 return self._super_pad_multiple(min(self.pallas_tile_n, 2048))
             return self.pallas_tile_n
         if self._int8_pallas:
-            if self.int8_rescore and self.pallas_super != 1:
+            if self.int8_rescore and self.pallas_super > 1:
                 return self._super_pad_multiple(min(self.pallas_tile_n, 2048))
             return min(self.pallas_tile_n, 2048)  # packed lane field: 11 bits
         return 1
