@@ -101,6 +101,65 @@ def _lane_depth(k: int) -> int:
     return 8
 
 
+def _plane_picks(m, base, vals_ref, idxs_ref, *, k: int, t: int):
+    """Level-2 picks over per-lane reduction planes `m` (t x [B, 128] int32,
+    per-lane sorted: m[0] >= m[1] >= ...).  Shared by the packed two-level
+    and fused-encode selects — see `_packed_two_level_select` for the
+    exactness story.  Writes picks as direct column stores."""
+    vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
+    idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
+    for j in range(k):
+        best = jnp.max(m[0], axis=1)
+        lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
+        val = pltpu.bitcast(
+            (best & jnp.int32(~0x7FF))[:, None], jnp.float32
+        )[:, 0] - 2.0
+        # > 0, not != 0: masked-out columns pack to NEGATIVE int32 (their
+        # shifted score is negative — see the encode), empty slots to 0.
+        valid = best > 0
+        vals_ref[:, j] = jnp.where(valid, val, NEG_INF)
+        idxs_ref[:, j] = jnp.where(valid, lane + base, -1)
+        picked = m[0] == best[:, None]
+        for i in range(t - 1):
+            m[i] = jnp.where(picked, m[i + 1], m[i])
+        m[t - 1] = jnp.where(picked, jnp.int32(0), m[t - 1])
+
+
+def _fused_two_level_select(
+    group_packed, groups: int, base, vals_ref, idxs_ref, *, k: int, t: int
+):
+    """Fused encode + two-level selection (round 5).
+
+    `group_packed(g)` returns the PACKED int32 [B, 128] scores of lane
+    group `g` — the encode happens per group INSIDE the streaming
+    reduction, so the full-width [B, TILE_N] packed copy of
+    `_packed_two_level_select` never materializes.  That removes an int32
+    VMEM buffer the size of the score matrix (4 bytes/element — the
+    difference between tile 1024 and tile 2048 for the int8 kernel, whose
+    footprint also drops the full-width f32 rescale copy) and the
+    corresponding full-width write+read VPU traffic.
+
+    `t` is the per-lane candidate depth (`_lane_depth(k)` by default).
+    t=1 keeps only the best row per 128-lane column per tile — safe
+    exactly like the t=2 path is safe, just with tighter odds: a TRUE
+    top-k row is lost only when a better same-tile row shares its lane
+    (expected ~(rows better than it in its tile)/128; for a globally
+    top-k row on exchangeable data that count is << 1 at many tiles).
+    Callers must gate t < _lane_depth(k) on an exact rescore + a recall
+    gate, same contract as `two_level` itself (`_resolve_two_level`)."""
+    m = [group_packed(0)] + [
+        jnp.zeros(vals_ref.shape[:1] + (128,), jnp.int32)
+        for _ in range(t - 1)
+    ]
+    for g in range(1, groups):
+        s = group_packed(g)
+        for i in range(t):
+            hi = jnp.maximum(m[i], s)
+            s = jnp.minimum(m[i], s)
+            m[i] = hi
+    _plane_picks(m, base, vals_ref, idxs_ref, k=k, t=t)
+
+
 def _packed_two_level_select(
     packed_scores, base, vals_ref, idxs_ref, *, k: int
 ):
@@ -137,35 +196,10 @@ def _packed_two_level_select(
     lanes = 128
     groups = tile_n // lanes
     t = _lane_depth(k)
-    # Streaming per-lane top-T bubble insert over static lane-aligned slices.
-    m = [packed_scores[:, :lanes]] + [
-        jnp.zeros((b, lanes), jnp.int32) for _ in range(t - 1)
-    ]
-    for g in range(1, groups):
-        s = packed_scores[:, g * lanes : (g + 1) * lanes]
-        for i in range(t):
-            hi = jnp.maximum(m[i], s)
-            s = jnp.minimum(m[i], s)
-            m[i] = hi
-
-    # Fillers once; slots 0..k-1 overwritten below.
-    vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
-    idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
-    for j in range(k):
-        best = jnp.max(m[0], axis=1)
-        lane = jnp.int32(2047) - (best & jnp.int32(0x7FF))
-        val = pltpu.bitcast(
-            (best & jnp.int32(~0x7FF))[:, None], jnp.float32
-        )[:, 0] - 2.0
-        # > 0, not != 0: masked-out columns pack to NEGATIVE int32 (their
-        # shifted score is negative — see the encode), empty slots to 0.
-        valid = best > 0
-        vals_ref[:, j] = jnp.where(valid, val, NEG_INF)
-        idxs_ref[:, j] = jnp.where(valid, lane + base, -1)
-        picked = m[0] == best[:, None]
-        for i in range(t - 1):
-            m[i] = jnp.where(picked, m[i + 1], m[i])
-        m[t - 1] = jnp.where(picked, jnp.int32(0), m[t - 1])
+    _fused_two_level_select(
+        lambda g: packed_scores[:, g * lanes : (g + 1) * lanes],
+        groups, base, vals_ref, idxs_ref, k=k, t=t,
+    )
 
 
 def _super_insert(
@@ -406,7 +440,7 @@ def _resolve_two_level(two_level, k: int, tile_n: int) -> bool:
 
 def _topk_tile_kernel_packed(
     q_ref, e_ref, mask_ref, vals_ref, idxs_ref, *, k: int, k_pad: int,
-    two_level: bool,
+    two_level: bool, lane_t: int = 0,
 ):
     """Packed-select variant: score bits and the lane index share one uint32,
     so each selection pass is a single max-reduce + one mask op (vs
@@ -449,19 +483,36 @@ def _topk_tile_kernel_packed(
     #   2. the AND clearing the 11 lane bits (bitcast is a free type pun);
     #   3. the OR of the [1, TILE] lane row — broadcast of a row iota, so
     #      no [B, TILE] iota is ever materialized.
-    offs_row = jnp.where(mask_ref[0, :] != 0, 2.0, -3.0)[None, :]
+    base = tile * tile_n
+    offs_full = jnp.where(mask_ref[0, :] != 0, 2.0, -3.0)[None, :]
+    if two_level:
+        # Round-5 fused path: encode PER 128-LANE GROUP inside the
+        # streaming reduction — the full-width [B, TILE] packed int32 copy
+        # never materializes (see `_fused_two_level_select`).
+        lane_iota = jnp.int32(2047) - jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1
+        )
+
+        def group_packed(g):
+            s = scores[:, g * 128 : (g + 1) * 128] + offs_full[
+                :, g * 128 : (g + 1) * 128
+            ]
+            bits = pltpu.bitcast(s, jnp.int32) & jnp.int32(~0x7FF)
+            return bits | (lane_iota - g * 128)
+
+        _fused_two_level_select(
+            group_packed, tile_n // 128, base, vals_ref, idxs_ref,
+            k=k, t=(lane_t or _lane_depth(k)),
+        )
+        return
+
     lane_row = (
         jnp.int32(2047)
         - jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
     )
-    shifted = scores + offs_row
+    shifted = scores + offs_full
     bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
     packed = bits | lane_row
-
-    base = tile * tile_n
-    if two_level:
-        _packed_two_level_select(packed, base, vals_ref, idxs_ref, k=k)
-        return
 
     vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
     idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
@@ -490,6 +541,7 @@ def _topk_tile_kernel_int8(
     k_pad: int,
     packed: bool = False,
     two_level: bool = False,
+    lane_t: int = 0,
 ):
     """Int8 variant: MXU int8xint8->int32 matmul + rank-1 rescale + the same
     in-VMEM iterative top-k.  Index bytes halve vs bf16 (the E read is the
@@ -504,12 +556,43 @@ def _topk_tile_kernel_int8(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [B, TILE]
+    base = tile * tile_n
+    qs_col = q_scale_ref[:, 0][:, None]
+
+    if packed and two_level:
+        # Round-5 fused path: the rank-1 rescale AND the packed encode run
+        # per 128-lane group inside the streaming reduction — neither the
+        # full-width f32 score copy nor the packed int32 copy materializes,
+        # so the kernel's per-element VMEM need drops from 8 to 4 bytes
+        # (int_scores only) and the tile can stay at 2048 (vs 1024)
+        # — half the per-tile fixed cost and half the merge pool at 10M.
+        offs_full = jnp.where(mask_ref[0, :] != 0, 2.0, -3.0)[None, :]
+        lane_iota = jnp.int32(2047) - jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1
+        )
+
+        def group_packed(g):
+            sl = slice(g * 128, (g + 1) * 128)
+            s = (
+                int_scores[:, sl].astype(jnp.float32)
+                * qs_col
+                * e_scale_ref[0, sl][None, :]
+                + offs_full[:, sl]
+            )
+            bits = pltpu.bitcast(s, jnp.int32) & jnp.int32(~0x7FF)
+            return bits | (lane_iota - g * 128)
+
+        _fused_two_level_select(
+            group_packed, tile_n // 128, base, vals_ref, idxs_ref,
+            k=k, t=(lane_t or _lane_depth(k)),
+        )
+        return
+
     scores = (
         int_scores.astype(jnp.float32)
-        * q_scale_ref[:, 0][:, None]
+        * qs_col
         * e_scale_ref[0, :][None, :]
     )
-    base = tile * tile_n
 
     if packed:
         # Packed selection (see _topk_tile_kernel_packed, incl. the 3-pass
@@ -525,11 +608,6 @@ def _topk_tile_kernel_int8(
         shifted = scores + offs_row
         bits = pltpu.bitcast(shifted, jnp.int32) & jnp.int32(~0x7FF)
         packed_scores = bits | lane_row
-        if two_level:
-            _packed_two_level_select(
-                packed_scores, base, vals_ref, idxs_ref, k=k
-            )
-            return
         vals_ref[:] = jnp.full(vals_ref.shape, NEG_INF, jnp.float32)
         idxs_ref[:] = jnp.full(idxs_ref.shape, -1, jnp.int32)
         for j in range(k):
@@ -564,7 +642,7 @@ def _topk_tile_kernel_int8(
     jax.jit,
     static_argnames=(
         "top_k", "tile_n", "interpret", "packed_select", "merge_k",
-        "two_level", "super_tiles",
+        "two_level", "super_tiles", "lane_t",
     ),
 )
 def pallas_cosine_top_k_int8(
@@ -580,6 +658,7 @@ def pallas_cosine_top_k_int8(
     merge_k: int = 0,
     two_level: bool | None = None,
     super_tiles: int = 1,
+    lane_t: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused int8 cosine + top-k (see `_topk_tile_kernel_int8`).
 
@@ -688,7 +767,7 @@ def pallas_cosine_top_k_int8(
         k = min(k_pad, tile_n, -(-merge_k // num_tiles))
     kernel = functools.partial(
         _topk_tile_kernel_int8, k=k, k_pad=k_pad, packed=packed_select,
-        two_level=tl,
+        two_level=tl, lane_t=lane_t,
     )
     grid_spec = pl.GridSpec(
         grid=(num_tiles,),
@@ -839,7 +918,7 @@ def _merge_tile_candidates(
     jax.jit,
     static_argnames=(
         "top_k", "tile_n", "interpret", "packed_select", "merge_k",
-        "two_level", "super_tiles",
+        "two_level", "super_tiles", "lane_t",
     ),
 )
 def pallas_cosine_top_k(
@@ -854,6 +933,7 @@ def pallas_cosine_top_k(
     merge_k: int = 0,
     two_level: bool | None = None,
     super_tiles: int = 1,
+    lane_t: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused cosine + top-k over a (normalized) index.
 
@@ -980,7 +1060,7 @@ def pallas_cosine_top_k(
             k_tile = min(k_pad, tile_n, -(-merge_k // num_tiles))
         kernel = functools.partial(
             _topk_tile_kernel_packed, k=k_tile, k_pad=k_pad,
-            two_level=tl_super,
+            two_level=tl_super, lane_t=lane_t,
         )
         k = k_tile
     else:

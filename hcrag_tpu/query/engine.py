@@ -117,6 +117,7 @@ class QueryEngine:
         int8_f32_rescore: bool = False,
         exact_rescore: int = 0,
         pallas_super: int = 0,
+        select_lane_t: int = 0,
         pallas_interpret: Optional[bool] = None,
     ):
         self.index = index
@@ -156,6 +157,12 @@ class QueryEngine:
         #: MEASURED to lose at both 1M and 10M (see `_super_request`), so
         #: 0 (auto) never engages it; > 1 forces the path explicitly.
         self.pallas_super = int(pallas_super)
+        #: Per-lane candidate depth for the fused two-level selection
+        #: (0 = auto `_lane_depth(k)`).  1 halves the streaming-insert VPU
+        #: passes at k<=16; only meaningful on rescore-gated paths (same
+        #: probabilistic-drop contract as two_level — the bench recall
+        #: gate watches it).
+        self.select_lane_t = int(select_lane_t)
         self.quantize_int8 = quantize_int8
         #: Quantized-recall refinement: the int8 kernel selects an
         #: oversampled candidate set (`int8_rescore` per query), then the
@@ -471,10 +478,13 @@ class QueryEngine:
                 sub_b = min(sub_b, 256)
 
             def footprint(t):
+                # The packed TWO-LEVEL path no longer materializes the
+                # full-width packed int32 copy (round-5 fused encode —
+                # `_fused_two_level_select`); only the f32 score block and
+                # tiny [sub_b, 128] reduction planes live beside it.
                 return (
                     4 * sub_b * d          # q block
                     + 4 * sub_b * t        # score block
-                    + (4 * sub_b * t if packed else 0)  # packed copy
                     + 2 * t * d * ebytes   # double-buffered E tile
                     + 16 * sub_b * 128     # double-buffered val/idx blocks
                 )
@@ -507,11 +517,12 @@ class QueryEngine:
                 # (tile 2048 + supertile extras measured 16.44 MB: OOM).
                 tile = min(tile, 1024)
                 spt = self._super_request(tile, sub_b)
+            lane_t = self.select_lane_t if packed else 0
             if b <= sub_b:
                 return pallas_cosine_top_k(
                     q_emb, emb, type_mask, top_k, tile_n=tile,
                     merge_k=merge_k, packed_select=packed, interpret=interp,
-                    two_level=two_level, super_tiles=spt,
+                    two_level=two_level, super_tiles=spt, lane_t=lane_t,
                 )
             pad_b = (-b) % sub_b
             q_padded = (
@@ -522,7 +533,7 @@ class QueryEngine:
                 lambda qc: pallas_cosine_top_k(
                     qc, emb, type_mask, top_k, tile_n=tile,
                     merge_k=merge_k, packed_select=packed, interpret=interp,
-                    two_level=two_level, super_tiles=spt,
+                    two_level=two_level, super_tiles=spt, lane_t=lane_t,
                 ),
                 q_chunks,
             )
@@ -553,10 +564,17 @@ class QueryEngine:
                 d = e8.shape[1]
                 # Packed selection encodes the lane in 11 bits — tiles wider
                 # than 2048 silently corrupt the top-k, so clamp here (the
-                # loop below only ever shrinks the tile further).
+                # loop below only ever shrinks the tile further).  The
+                # two-level path runs the round-5 fused rescale+encode
+                # select: neither the f32 rescale copy nor the packed int32
+                # copy materializes, so the per-element need is 4 bytes
+                # (int32 scores) — tile 2048 fits where the k-pass path
+                # needs 8 bytes/element and drops to 1024.
+                tl = self.int8_rescore > 0
+                sbytes = 4 if tl else 8
                 tile = min(self.pallas_tile_n, 2048)
                 while tile > 512 and (
-                    8 * sub_b * tile + sub_b * d + 2 * tile * d
+                    sbytes * sub_b * tile + sub_b * d + 2 * tile * d
                     + 16 * sub_b * 128
                 ) > (10 << 20):
                     tile //= 2
@@ -571,14 +589,15 @@ class QueryEngine:
                 # > lane_depth per-lane collision would silently drop a
                 # true top-k row, so int8-only mode keeps the exhaustive
                 # k-pass packed loop (quantization noise only).
-                two_level = self.int8_rescore > 0
+                two_level = tl
                 spt = self._super_request(tile, sub_b) if two_level else 1
+                lane_t = self.select_lane_t if two_level else 0
                 if b <= sub_b:
                     return pallas_cosine_top_k_int8(
                         q_emb, e8, bank["emb_scale"], type_mask, top_k,
                         tile_n=tile, packed_select=True, merge_k=merge_k,
                         interpret=interp, two_level=two_level,
-                        super_tiles=spt,
+                        super_tiles=spt, lane_t=lane_t,
                     )
                 pad_b = (-b) % sub_b
                 q_padded = (
@@ -590,7 +609,7 @@ class QueryEngine:
                         qc, e8, bank["emb_scale"], type_mask, top_k,
                         tile_n=tile, packed_select=True, merge_k=merge_k,
                         interpret=interp, two_level=two_level,
-                        super_tiles=spt,
+                        super_tiles=spt, lane_t=lane_t,
                     ),
                     q_chunks,
                 )
@@ -641,15 +660,19 @@ class QueryEngine:
         from hcrag_tpu.ops.topk_pallas import _resolve_super_tiles
 
         n_rows = int(np.asarray(self.index.emb).shape[0])
+        from hcrag_tpu.ops.topk_pallas import _lane_depth
+
         if self.quantize_int8 and self._int8_pallas:
             sub_b = min(batch, 512)
             d = self.index.dim
+            tl = self.int8_rescore > 0
+            sbytes = 4 if tl else 8  # fused two-level: int32 scores only
             tile = min(self.pallas_tile_n, 2048)
             while tile > 512 and (
-                8 * sub_b * tile + sub_b * d + 2 * tile * d + 16 * sub_b * 128
+                sbytes * sub_b * tile + sub_b * d + 2 * tile * d
+                + 16 * sub_b * 128
             ) > (10 << 20):
                 tile //= 2
-            tl = self.int8_rescore > 0
             spt = _resolve_super_tiles(
                 self._super_request(tile, sub_b) if tl else 1,
                 tile, -(-n_rows // tile), tl, True,
@@ -658,6 +681,10 @@ class QueryEngine:
                 kernel="pallas_int8", packed_select=True,
                 two_level=self.int8_rescore > 0, tile_n=tile, sub_batch=sub_b,
                 super_tiles=spt,
+                lane_t=(
+                    (self.select_lane_t or _lane_depth(min(top_k, n_rows)))
+                    if tl else 0
+                ),
                 select_bank="int8",
                 rescore_bank=(
                     "int8_residual" if self.int8_residual
@@ -681,9 +708,10 @@ class QueryEngine:
             budget = (14 << 20) if packed else (11 << 20)
 
             def footprint(t):
+                # Mirrors _local_select: the fused two-level encode dropped
+                # the packed int32 copy term (round 5).
                 return (
                     4 * sub_b * d + 4 * sub_b * t
-                    + (4 * sub_b * t if packed else 0)
                     + 2 * t * d * ebytes + 16 * sub_b * 128
                 )
 
@@ -702,6 +730,10 @@ class QueryEngine:
                 kernel="pallas_float", packed_select=packed,
                 two_level=packed, tile_n=tile, sub_batch=sub_b,
                 super_tiles=spt,
+                lane_t=(
+                    (self.select_lane_t or _lane_depth(min(top_k, n_rows)))
+                    if packed else 0
+                ),
                 select_bank=str(self.d_emb.dtype),
                 rescore_bank="f32" if self.exact_rescore else "",
             )

@@ -422,3 +422,83 @@ class TestPackedCandidateMerge:
             want = set(np.argsort(-sims[r], kind="stable")[:m].tolist())
             got = set(int(x) for x in i[r] if x >= 0)
             assert len(want & got) / m >= 0.95
+
+
+class TestFusedLaneT:
+    """Round-5 fused encode + lane-depth override (`lane_t`): the packed
+    two-level kernels encode per 128-lane group INSIDE the streaming
+    reduction (no full-width packed copy), and `lane_t=1` keeps a single
+    per-lane plane — half the insert passes at k<=16.
+
+    Contract (weaker than t=2, by design): a tile keeps at most ONE
+    candidate per 128-lane column, so a true top-k row is dropped when a
+    better SAME-TILE row shares its lane — odds ~ (better rows in its
+    tile)/128, i.e. material at few tiles (seed 5 at 8 tiles drops one)
+    and vanishing at the 1M/10M tile counts the option targets.  Only for
+    rescore-gated engines under the bench recall gate.  Pinned here: the
+    top-k always lands in the oversampled merge pool on seeds without a
+    same-tile lane collision among the global top-10."""
+
+    def test_float_lane_t1_top10_in_pool(self):
+        import jax.numpy as jnp
+
+        import hcrag_tpu.ops.topk_pallas as tp
+
+        for seed in (3, 11, 12):
+            q, e = _setup(8192, 128, 8, seed=seed)
+            mask = np.ones(8192, bool)
+            v1, i1 = tp.pallas_cosine_top_k(
+                jnp.asarray(q), jnp.asarray(e), jnp.asarray(mask), 10,
+                two_level=True, lane_t=1, tile_n=1024, interpret=True,
+                packed_select=True, merge_k=32)
+            s = q @ e.T
+            for r in range(8):
+                brute = set(np.argsort(-s[r], kind="stable")[:10].tolist())
+                assert brute <= set(np.asarray(i1)[r].tolist()), (seed, r)
+
+    def test_int8_lane_t1_fused_rescale(self):
+        """Fused rescale+encode (two-level int8) at lane_t 1 and 2: the
+        int8-exact top-10 stays in the merge pool."""
+        import jax.numpy as jnp
+
+        import hcrag_tpu.ops.topk_pallas as tp
+        from hcrag_tpu.ops.quantize import quantize_rows
+
+        q, e = _setup(4096, 128, 8, seed=12)
+        e8, es = quantize_rows(e)
+        mask = np.ones(4096, bool)
+        kw = dict(tile_n=1024, interpret=True, packed_select=True, merge_k=32)
+        ref_v, ref_i = tp.pallas_cosine_top_k_int8(
+            jnp.asarray(q), jnp.asarray(e8), jnp.asarray(es),
+            jnp.asarray(mask), 10, two_level=False, **kw)
+        for t in (1, 2):
+            v, i = tp.pallas_cosine_top_k_int8(
+                jnp.asarray(q), jnp.asarray(e8), jnp.asarray(es),
+                jnp.asarray(mask), 10, two_level=True, lane_t=t, **kw)
+            for r in range(8):
+                want = set(np.asarray(ref_i)[r, :10].tolist())
+                assert want <= set(np.asarray(i)[r].tolist()), (t, r)
+
+    def test_engine_lane_t1_recall_exact(self):
+        """End-to-end: an exact-rescore engine at select_lane_t=1 returns
+        the f32 brute-force top-10 set (the headline's recall contract) on
+        collision-free seeds."""
+        from hcrag_tpu.query.engine import QueryEngine
+        from hcrag_tpu.utils.synthetic import synthetic_dense_index
+
+        idx = synthetic_dense_index(6144, 128, seed=9)
+        e = QueryEngine(idx, None, use_pallas=True, pallas_interpret=True,
+                        exact_rescore=32, select_lane_t=1)
+        assert e.resolved_kernel_config(512, 10)["lane_t"] == 1
+        emb = np.asarray(idx.emb, np.float32)
+        embn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        # Seed 5 is collision-free at this 3-tile toy size (seeds 3/4/7 DO
+        # drop rows here — 3 tiles is far below the option's target scale;
+        # at 489+ tiles the same odds are ~60x smaller per query).
+        rng = np.random.default_rng(5)
+        q = rng.standard_normal((6, 128)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        res = e.query_batch(q, top_k=10)
+        for b in range(6):
+            brute = set(np.argsort(-(embn @ q[b]), kind="stable")[:10].tolist())
+            assert set(res.top_indices[b].tolist()) == brute, b
