@@ -71,56 +71,81 @@ def main():
         best_i = np.take_along_axis(alli, order, axis=1)
     log("gate reference ready")
 
-    t0 = time.time()
-    eng = QueryEngine(
-        index, None, quantize_int8=True, int8_residual=True, int8_rescore=32,
-    )
-    # Force residency with tiny readbacks (NOTES round-2).  No reshape(-1):
-    # a flattened [10M, 384] bank is > 2^31 elements and overflows the
-    # jitted gather's int32 indexing.
-    for a in (eng.d_emb_int8, eng.d_emb_scale, eng.d_emb_res8,
-              eng.d_emb_res_scale):
-        x = a[-8:] if a.ndim == 1 else a[-8:, -1]
-        np.asarray(jnp.sum(x.astype(jnp.float32)))
-    log(f"engine init + residency {time.time()-t0:.1f}s; resolved "
-        f"{json.dumps(eng.resolved_kernel_config(2048, K))}")
-
-    res = eng.query_batch(gate_q, top_k=K, expansion_depth=0)
-    hits = sum(
-        len(set(res.top_indices[i]) & set(best_i[i])) for i in range(n_gate)
-    )
-    recall = hits / (n_gate * K)
-    log(f"recall@10 vs f32 brute force: {recall:.4f}")
-
-    rows = {}
-    for B in (1024, 2048):
-        dq = jax.device_put(jnp.asarray(queries[:B]))
-        warm = eng.query_batch_device(dq, top_k=K, expansion_depth=0)
-        jax.block_until_ready(warm); _ = np.asarray(warm[0])
-        steps = 8
+    # Round-5b: one process, both lane depths — the FUSED int8 select
+    # (rescale+encode per lane group, tile back at 2048) at the default
+    # plane count and at lane_t=1 (half the insert passes; drop odds at
+    # 4883 tiles are ~(better rows per tile)/128 — gate-watched).  The
+    # engines share nothing on-device; the first is deleted before the
+    # second quantizes, so peak HBM stays one 7.7 GB bank set.
+    lane_sel = os.environ.get("BENCH10M_LANE_T", "0,1")
+    all_rows = {}
+    recalls = {}
+    resolved = {}
+    for lane_t in [int(x) for x in lane_sel.split(",")]:
         t0 = time.time()
-        outs = [eng.query_batch_device(dq, top_k=K, expansion_depth=0)
-                for _ in range(steps)]
-        jax.block_until_ready(outs); _ = np.asarray(outs[-1][0])
-        dt = (time.time() - t0) / steps
-        log(f"B={B}: {1e3*dt:.1f} ms/batch -> {B/dt:.0f} QPS")
-        rows[f"b{B}"] = dict(qps=round(B / dt, 1),
-                             ms_per_batch=round(1e3 * dt, 2), batch=B)
+        eng = QueryEngine(
+            index, None, quantize_int8=True, int8_residual=True,
+            int8_rescore=32, select_lane_t=lane_t,
+        )
+        # Force residency with tiny readbacks (NOTES round-2).  No
+        # reshape(-1): a flattened [10M, 384] bank is > 2^31 elements and
+        # overflows the jitted gather's int32 indexing.
+        for a in (eng.d_emb_int8, eng.d_emb_scale, eng.d_emb_res8,
+                  eng.d_emb_res_scale):
+            x = a[-8:] if a.ndim == 1 else a[-8:, -1]
+            np.asarray(jnp.sum(x.astype(jnp.float32)))
+        log(f"--- lane_t={lane_t}: engine init + residency "
+            f"{time.time()-t0:.1f}s; resolved "
+            f"{json.dumps(eng.resolved_kernel_config(2048, K))}")
 
-    best = max(rows.values(), key=lambda r: r["qps"])
+        res = eng.query_batch(gate_q, top_k=K, expansion_depth=0)
+        hits = sum(
+            len(set(res.top_indices[i]) & set(best_i[i]))
+            for i in range(n_gate)
+        )
+        recall = hits / (n_gate * K)
+        recalls[lane_t] = recall
+        log(f"lane_t={lane_t} recall@10 vs f32 brute force: {recall:.4f}")
+
+        for B in (1024, 2048):
+            dq = jax.device_put(jnp.asarray(queries[:B]))
+            warm = eng.query_batch_device(dq, top_k=K, expansion_depth=0)
+            jax.block_until_ready(warm); _ = np.asarray(warm[0])
+            steps = 8
+            t0 = time.time()
+            outs = [eng.query_batch_device(dq, top_k=K, expansion_depth=0)
+                    for _ in range(steps)]
+            jax.block_until_ready(outs); _ = np.asarray(outs[-1][0])
+            dt = (time.time() - t0) / steps
+            log(f"lane_t={lane_t} B={B}: {1e3*dt:.1f} ms/batch -> "
+                f"{B/dt:.0f} QPS")
+            all_rows[f"t{lane_t}_b{B}"] = dict(
+                qps=round(B / dt, 1), ms_per_batch=round(1e3 * dt, 2),
+                batch=B, lane_t=lane_t, recall_at_10=round(recall, 4),
+            )
+            resolved[f"t{lane_t}_b{B}"] = eng.resolved_kernel_config(B, K)
+        del eng
+        import gc
+        gc.collect()
+
+    # Best GATED row wins the headline slot (recall >= 0.999).
+    gated = {k: r for k, r in all_rows.items()
+             if r["recall_at_10"] >= 0.999} or all_rows
+    best_key = max(gated, key=lambda k: gated[k]["qps"])
+    best = all_rows[best_key]
     entry = dict(
         best,
-        recall_at_10=round(recall, 4),
         recall_gate_queries=n_gate,
         resident_gb=7.7,
         prev_round_qps=7282.5,
-        resolved_kernel=eng.resolved_kernel_config(best["batch"], K),
-        sweep=rows,
+        resolved_kernel=resolved[best_key],
+        sweep=all_rows,
         note=(
-            "round-5: supertile selection (picks + candidate writes once "
-            "per 8192-row supertile) over the int8 select bank + int8 "
-            "residual exact-rescore source, one v5e chip.  VERDICT next-4 "
-            "bar: >= 10k QPS at recall >= 0.999."
+            "round-5b: FUSED int8 select (rescale+encode per 128-lane "
+            "group, no full-width f32/packed copies -> tile 2048) over the "
+            "int8 select bank + int8 residual exact-rescore source, one "
+            "v5e chip; lane_t sweep recall-gated per variant.  VERDICT "
+            "next-4 bar: >= 10k QPS at recall >= 0.999."
         ),
     )
     data = json.load(open(RESULTS)) if os.path.exists(RESULTS) else {}

@@ -484,21 +484,24 @@ def _topk_tile_kernel_packed(
     #   3. the OR of the [1, TILE] lane row — broadcast of a row iota, so
     #      no [B, TILE] iota is ever materialized.
     base = tile * tile_n
-    offs_full = jnp.where(mask_ref[0, :] != 0, 2.0, -3.0)[None, :]
     if two_level:
         # Round-5 fused path: encode PER 128-LANE GROUP inside the
         # streaming reduction — the full-width [B, TILE] packed int32 copy
-        # never materializes (see `_fused_two_level_select`).
-        lane_iota = jnp.int32(2047) - jax.lax.broadcasted_iota(
-            jnp.int32, (1, 128), 1
-        )
+        # never materializes (see `_fused_two_level_select`).  Mosaic
+        # layout rule learned the hard way: a [1, 128] SLICE of a computed
+        # full-width value cannot be re-broadcast (vpad layout error), but
+        # a FRESH [1, 128] value loaded from the mask ref broadcasts fine,
+        # and the lane ids come from a [B, 128] iota per group.
 
         def group_packed(g):
-            s = scores[:, g * 128 : (g + 1) * 128] + offs_full[
-                :, g * 128 : (g + 1) * 128
-            ]
+            sl = slice(g * 128, (g + 1) * 128)
+            offs = jnp.where(mask_ref[0, sl] != 0, 2.0, -3.0)[None, :]
+            s = scores[:, sl] + offs
             bits = pltpu.bitcast(s, jnp.int32) & jnp.int32(~0x7FF)
-            return bits | (lane_iota - g * 128)
+            lane = jnp.int32(2047 - g * 128) - jax.lax.broadcasted_iota(
+                jnp.int32, (b, 128), 1
+            )
+            return bits | lane
 
         _fused_two_level_select(
             group_packed, tile_n // 128, base, vals_ref, idxs_ref,
@@ -506,6 +509,7 @@ def _topk_tile_kernel_packed(
         )
         return
 
+    offs_full = jnp.where(mask_ref[0, :] != 0, 2.0, -3.0)[None, :]
     lane_row = (
         jnp.int32(2047)
         - jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
@@ -566,21 +570,23 @@ def _topk_tile_kernel_int8(
         # so the kernel's per-element VMEM need drops from 8 to 4 bytes
         # (int_scores only) and the tile can stay at 2048 (vs 1024)
         # — half the per-tile fixed cost and half the merge pool at 10M.
-        offs_full = jnp.where(mask_ref[0, :] != 0, 2.0, -3.0)[None, :]
-        lane_iota = jnp.int32(2047) - jax.lax.broadcasted_iota(
-            jnp.int32, (1, 128), 1
-        )
-
         def group_packed(g):
+            # Fresh [1, 128] loads from the scale/mask refs per group —
+            # slices of computed full-width values cannot be re-broadcast
+            # (Mosaic vpad layout error; see _topk_tile_kernel_packed).
             sl = slice(g * 128, (g + 1) * 128)
+            offs = jnp.where(mask_ref[0, sl] != 0, 2.0, -3.0)[None, :]
             s = (
                 int_scores[:, sl].astype(jnp.float32)
                 * qs_col
                 * e_scale_ref[0, sl][None, :]
-                + offs_full[:, sl]
+                + offs
             )
             bits = pltpu.bitcast(s, jnp.int32) & jnp.int32(~0x7FF)
-            return bits | (lane_iota - g * 128)
+            lane = jnp.int32(2047 - g * 128) - jax.lax.broadcasted_iota(
+                jnp.int32, (b, 128), 1
+            )
+            return bits | lane
 
         _fused_two_level_select(
             group_packed, tile_n // 128, base, vals_ref, idxs_ref,
