@@ -48,10 +48,15 @@ def run_direct():
     # overhead (results.json:dispatch_floor_fit), so larger submitted
     # batches amortize it — measured 61.5k/69.5k/75.3k QPS at B=1024/2048/
     # 4096 within one session (synthetic_1M_batch_sweep_r4).
-    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    # Round-5 headline defaults (benchmarks/results.json:
+    # synthetic_1M_fused_r5b): int8 selection + f32 exact rescore at
+    # lane_t=1, B=8192 — 90.9k QPS at recall 1.0000 on the 256-query gate
+    # (vs 75.0k bf16 B=4096).  B=8192 amortizes the ~4.5 ms relay dispatch
+    # overhead; the engine still splits into 512-query VMEM sub-batches.
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
     top_k = int(os.environ.get("BENCH_TOPK", 10))
     depth = int(os.environ.get("BENCH_DEPTH", 1))
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = os.environ.get("BENCH_DTYPE", "int8")
     bp = os.environ.get("BENCH_PALLAS")
     use_pallas = None if bp is None else bp == "1"
 
@@ -71,7 +76,15 @@ def run_direct():
     # one-chip config with exact-rescore recall); "f32" = int8 selection +
     # f32 exact rescore (round-5 throughput mode: int8 E-read/MXU speed,
     # f32 recall-1.0 ranking; +4 bytes/elem resident).
-    int8_mode = os.environ.get("BENCH_INT8_MODE", "")
+    int8_mode = os.environ.get(
+        "BENCH_INT8_MODE", "f32" if dtype == "int8" else ""
+    )
+    # Per-lane plane count for the fused two-level selection (0 = auto,
+    # 1 = single plane: half the insert passes; probabilistic-drop
+    # contract — the recall gate below watches it).  Default 1: measured
+    # recall 1.0000 at 1M/489 tiles (drop odds ~(better same-tile rows)/128
+    # per query — negligible at production tile counts).
+    lane_t = int(os.environ.get("BENCH_LANE_T", 1))
     # Residual/f32-rescore modes quantize + rescore from TRUE f32 (the
     # refinement must see f32 values, not bf16-rounded ones, to recover
     # exact-match recall); other int8/bf16 modes downcast the host index to
@@ -93,6 +106,7 @@ def run_direct():
         int8_f32_rescore=int8_mode == "f32",
         int8_rescore=rescore,
         exact_rescore=rescore if dtype == "bfloat16" else 0,
+        select_lane_t=lane_t,
     )
     resolved = engine.resolved_kernel_config(batch, top_k)
     log(
