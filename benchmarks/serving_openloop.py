@@ -101,14 +101,28 @@ def main():
     N, D = 1_000_000, 384
     with timed("synthetic setup"):
         index, graph = _synthetic_setup(N, D, graph_degree=4)
-    index.emb = np.asarray(index.emb, np.float32).astype(ml_dtypes.bfloat16)
-    with timed("engine init"):
-        engine = QueryEngine(index, graph, ell_max_degree=8, exact_rescore=32)
+    eng_cfg = os.environ.get("ENGINE", "bf16")
+    if eng_cfg == "int8f32":
+        # Round-5b headline kernel (fused int8 select + f32 exact rescore,
+        # lane_t=1): ~2.8x the bf16 per-sub-batch service rate.
+        with timed("engine init"):
+            engine = QueryEngine(
+                index, graph, ell_max_degree=8, quantize_int8=True,
+                int8_rescore=32, int8_f32_rescore=True, select_lane_t=1,
+            )
+    else:
+        index.emb = np.asarray(index.emb, np.float32).astype(ml_dtypes.bfloat16)
+        with timed("engine init"):
+            engine = QueryEngine(
+                index, graph, ell_max_degree=8, exact_rescore=32
+            )
 
     rng = np.random.default_rng(7)
     queries = rng.standard_normal((65536, D)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=1, keepdims=True)
-    np.asarray(jnp.sum(engine.d_emb[:, -1].astype(jnp.float32)))  # residency
+    for a in engine._bank().values():  # residency (NOTES round-2)
+        if hasattr(a, "dtype") and a.ndim >= 1:
+            np.asarray(jnp.sum(a.reshape(-1)[-8:].astype(jnp.float32)))
 
     serve_b = int(os.environ.get("SERVE_B", 1024))
     sizes = tuple(
